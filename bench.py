@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: batched SSN fixed-point solves/sec/chip, TPU vs the
+reference-equivalent CPU path.
+
+Contract (BASELINE.md): the reference publishes no numbers, so this repo
+establishes both sides — the C++/OpenMP CPU solver (csrc/ssnode.cpp, the
+reference's ext/-equivalent, float64) vs the JAX/TPU while-loop solver
+(float32) on the same circuit/stimulus configuration and tolerance.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline = TPU solves/sec divided by CPU solves/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tcgan_tpu.ops import fixed_point, native, stimulus, weights
+    from tcgan_tpu.ops.ssn import SSNConfig
+
+    # Benchmark configuration: paper-scale circuit, full bandwidth battery.
+    cfg = SSNConfig(N=51, k=0.01, n=2.2, dt=0.0005, max_iter=8000, atol=1e-5)
+    J = jnp.array([[0.045, 0.040], [0.050, 0.035]], dtype=jnp.float32)
+    D = jnp.array([[0.10, 0.08], [0.10, 0.08]], dtype=jnp.float32)
+    S = jnp.array([[0.25, 0.10], [0.25, 0.10]], dtype=jnp.float32)
+    bandwidths = (0.0, 0.0625, 0.125, 0.1875, 0.25, 0.5, 0.75, 1.0)
+    contrasts = (10.0,)
+
+    B_TPU = 512  # circuits per device-side solve
+    B_CPU = 16  # circuits for the CPU baseline measurement
+    REPS = 3
+
+    x = cfg.site_pos()
+    I_ext = stimulus.stimulus_battery(bandwidths, contrasts, x, cfg.smoothness)
+    S_cond = I_ext.shape[0]
+
+    key = jax.random.PRNGKey(0)
+    z = weights.sample_z(key, (B_TPU,), cfg.N)
+    W = weights.build_weight(J, D, S, z, x)
+
+    solve = jax.jit(
+        lambda W: fixed_point.solve_fixed_point(cfg, W, I_ext, check_every=8)
+    )
+    res = solve(W)
+    jax.block_until_ready(res.r)  # compile + warmup
+    frac_conv = float(res.converged.mean())
+
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        res = solve(W)
+    jax.block_until_ready(res.r)
+    t_tpu = (time.perf_counter() - t0) / REPS
+    rate_tpu = B_TPU * S_cond / t_tpu
+
+    # CPU baseline (reference-equivalent float64 OpenMP solver).
+    if native.available():
+        Wn = np.asarray(W[:B_CPU], dtype=np.float64)
+        In = np.asarray(I_ext, dtype=np.float64)
+        native.solve_fixed_point_native(cfg, Wn[:2], In)  # warm
+        t0 = time.perf_counter()
+        nres = native.solve_fixed_point_native(cfg, Wn, In)
+        t_cpu = time.perf_counter() - t0
+        rate_cpu = B_CPU * S_cond / t_cpu
+        cpu_threads = native.num_threads()
+    else:  # pragma: no cover
+        rate_cpu = float("nan")
+        cpu_threads = 0
+
+    vs_baseline = rate_tpu / rate_cpu if rate_cpu == rate_cpu else float("nan")
+    result = {
+        "metric": "batched SSN fixed-point solves/sec/chip (N=51, 8-stim battery)",
+        "value": round(rate_tpu, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "tpu_rate": round(rate_tpu, 1),
+            "cpu_rate": round(rate_cpu, 1),
+            "cpu_threads": cpu_threads,
+            "tpu_frac_converged": round(frac_conv, 4),
+            "tpu_batch": B_TPU,
+            "cpu_batch": B_CPU,
+            "n_stim": S_cond,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,8 @@
+"""Post-hoc analysis: run-directory loaders, learning curves, parameter
+recovery metrics, tuning-curve distribution comparison.
+
+Reference parity: ``tc_gan/loaders.py`` + ``tc_gan/analyzers/``
+(SURVEY.md §1 L6).
+"""
+
+from tcgan_tpu.analysis.loaders import RunRecord, load_run  # noqa: F401

@@ -1,0 +1,84 @@
+"""Load a run datastore directory into a structured record.
+
+Reference parity: ``tc_gan/loaders.py::load(...)`` (SURVEY.md §2
+"Analyzers / loaders") — consumes the recorder streams written by
+tcgan_tpu.train (learning.csv, generator.csv, disc_param_stats.csv,
+tc_mean.jsonl, info.json).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _read_csv(path: Path) -> Dict[str, np.ndarray]:
+    if not path.exists():
+        return {}
+    with open(path) as fh:
+        reader = csv.DictReader(fh)
+        rows = list(reader)
+    if not rows:
+        return {}
+    out: Dict[str, np.ndarray] = {}
+    for col in rows[0].keys():
+        vals = []
+        for r in rows:
+            v = r.get(col, "")
+            try:
+                vals.append(float(v))
+            except (TypeError, ValueError):
+                vals.append(np.nan)
+        out[col] = np.asarray(vals)
+    return out
+
+
+def _read_jsonl(path: Path) -> List[dict]:
+    if not path.exists():
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+@dataclasses.dataclass
+class RunRecord:
+    """A loaded run directory."""
+
+    path: Path
+    info: Dict[str, Any]
+    learning: Dict[str, np.ndarray]
+    generator: Dict[str, np.ndarray]
+    disc_stats: Dict[str, np.ndarray]
+    tc_mean: List[dict]
+
+    @property
+    def steps(self) -> np.ndarray:
+        return self.learning.get("step", np.array([]))
+
+    def gen_param_trajectory(self, name: str) -> np.ndarray:
+        """(steps, 2, 2) trajectory of J / D / S."""
+        pops = ("E", "I")
+        cols = [[self.generator[f"{name}_{a}{b}"] for b in pops] for a in pops]
+        return np.stack([np.stack(c, axis=-1) for c in cols], axis=-2)
+
+    def final_gen_params(self) -> Dict[str, np.ndarray]:
+        return {name: self.gen_param_trajectory(name)[-1] for name in "JDS"}
+
+
+def load_run(path: str | Path) -> RunRecord:
+    path = Path(path)
+    info_file = path / "info.json"
+    info = json.loads(info_file.read_text()) if info_file.exists() else {}
+    return RunRecord(
+        path=path,
+        info=info,
+        learning=_read_csv(path / "learning.csv"),
+        generator=_read_csv(path / "generator.csv"),
+        disc_stats=_read_csv(path / "disc_param_stats.csv"),
+        tc_mean=_read_jsonl(path / "tc_mean.jsonl"),
+    )

@@ -1,0 +1,174 @@
+"""Conditional WGAN: critic conditioned on the stimulus condition.
+
+Reference parity: ``tc_gan/networks/cwgan.py`` (SURVEY.md §2 "Conditional
+WGAN", [BASELINE] config C4). One fit spans the whole contrast x bandwidth
+grid by tagging every tuning-curve sample with its stimulus condition and
+conditioning the critic on that tag:
+
+- each sampled circuit yields one critic sample PER stimulus condition:
+  the probe readout for that condition concatenated with the condition's
+  (bandwidth, contrast) feature vector;
+- real data samples are tagged the same way, and real/fake pairing for the
+  gradient-penalty interpolates happens within the same condition (the
+  stacked layout preserves condition order on both sides, so interpolation
+  never mixes conditions' tags).
+
+The training schedule, losses, and optimizers are shared with
+:mod:`tcgan_tpu.models.wgan`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tcgan_tpu.models import critic as critic_lib
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models.critic import CriticConfig
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.models.wgan import StepMetrics, TrainState, WGANConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class CWGANConfig(WGANConfig):
+    """WGANConfig whose critic sees (per-condition TC block, condition)."""
+
+    @property
+    def cond_dim(self) -> int:
+        return 2  # (bandwidth, contrast)
+
+    @property
+    def critic_cfg(self) -> CriticConfig:
+        return CriticConfig(
+            in_dim=self.gen.n_probe + self.cond_dim,
+            layers=self.critic_layers,
+            dtype=self.gen.dtype,
+        )
+
+    @property
+    def critic_batch(self) -> int:
+        return self.batch_size * self.gen.n_stim
+
+
+def tag_with_conditions(cfg: CWGANConfig, tc_by_cond: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, P) per-condition probe blocks -> (B*S, P + 2) tagged samples.
+
+    Condition features are appended in battery order; layout is
+    condition-major within each circuit so real/fake stacks align.
+    """
+    B, S, P = tc_by_cond.shape
+    feats = cfg.gen.condition_features().astype(tc_by_cond.dtype)  # (S, 2)
+    feats = jnp.broadcast_to(feats[None], (B, S, feats.shape[-1]))
+    return jnp.concatenate([tc_by_cond, feats], axis=-1).reshape(B * S, -1)
+
+
+def sample_conditional(cfg: CWGANConfig, gen_params, key, batch):
+    """Generator forward returning condition-tagged critic samples."""
+    out = gen_lib.sample_tuning_curves(
+        dataclasses.replace(cfg.gen, track_offset_identity=True),
+        gen_params, key, batch,
+    )
+    # recover (B, S, P) from the flattened (B, S*P) readout
+    tc_by_cond = out.tc.reshape(batch, cfg.gen.n_stim, cfg.gen.n_probe)
+    return tag_with_conditions(cfg, tc_by_cond), out
+
+
+def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key):
+    from tcgan_tpu.models.wgan import gradient_penalty
+
+    d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
+    d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
+    gp = gradient_penalty(cfg, critic_params, real, fake, key)
+    wasserstein = jnp.mean(d_real) - jnp.mean(d_fake)
+    loss = -wasserstein + cfg.gp_lambda * gp
+    acc = jnp.mean((d_real - d_fake > 0).astype(real.dtype))
+    return loss, (wasserstein, gp, acc)
+
+
+def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
+               gen_init: Dict[str, jnp.ndarray] | None = None) -> TrainState:
+    from tcgan_tpu.models.wgan import make_optimizers
+
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    kc, _ = jax.random.split(key)
+    gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+    critic_params = critic_lib.init_params(cfg.critic_cfg, kc)
+    gen_tx, critic_tx = make_optimizers(cfg)
+    return TrainState(
+        gen_params=gen_params,
+        gen_opt=gen_tx.init(gen_params),
+        critic_params=critic_params,
+        critic_opt=critic_tx.init(critic_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step_impl(
+    cfg: CWGANConfig,
+    n_critic: int,
+    state: TrainState,
+    real_stack: jnp.ndarray,  # (n_critic, B*S, P + 2) condition-tagged
+    key: jax.Array,
+) -> Tuple[TrainState, StepMetrics]:
+    from tcgan_tpu.models.wgan import make_optimizers
+
+    gen_tx, critic_tx = make_optimizers(cfg)
+    key_c, key_g = jax.random.split(jax.random.fold_in(key, state.step))
+
+    def critic_update(carry, inp):
+        critic_params, critic_opt = carry
+        real, k = inp
+        k_z, k_gp = jax.random.split(k)
+        fake, _ = sample_conditional(cfg, state.gen_params, k_z, cfg.batch_size)
+        fake = jax.lax.stop_gradient(fake)
+        (loss, (w, gp, acc)), grads = jax.value_and_grad(
+            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp), has_aux=True
+        )(critic_params)
+        updates, critic_opt = critic_tx.update(grads, critic_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, updates)
+        return (critic_params, critic_opt), (loss, w, gp, acc)
+
+    keys_c = jax.random.split(key_c, n_critic)
+    (critic_params, critic_opt), (d_losses, ws, gps, accs) = jax.lax.scan(
+        critic_update, (state.critic_params, state.critic_opt),
+        (real_stack, keys_c),
+    )
+
+    def gen_loss(gen_params):
+        fake, out = sample_conditional(cfg, gen_params, key_g, cfg.batch_size)
+        d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
+        pen = gen_lib.rate_penalty(cfg.gen, out.rates)
+        stats = (
+            pen,
+            jnp.mean(out.converged.astype(jnp.float32)),
+            jnp.mean(out.diverged.astype(jnp.float32)),
+            jnp.mean(out.iters.astype(jnp.float32)),
+        )
+        return -jnp.mean(d_fake) + cfg.rate_cost * pen, stats
+
+    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+        gen_loss, has_aux=True
+    )(state.gen_params)
+    g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+    gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+    new_state = TrainState(
+        gen_params=gen_params, gen_opt=gen_opt,
+        critic_params=critic_params, critic_opt=critic_opt,
+        step=state.step + 1,
+    )
+    metrics = StepMetrics(
+        d_loss=d_losses[-1], g_loss=g_loss, wasserstein=ws[-1], gp=gps[-1],
+        rate_penalty=pen, frac_converged=fconv, frac_diverged=fdiv,
+        mean_iters=miters, d_accuracy=accs[-1],
+    )
+    return new_state, metrics
+
+
+train_step = jax.jit(train_step_impl, static_argnames=("cfg", "n_critic"))

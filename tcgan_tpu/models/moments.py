@@ -1,0 +1,120 @@
+"""Moment-matching fit: non-adversarial alternative to the WGAN.
+
+Reference parity: ``tc_gan/networks/moment_matching.py`` +
+``tc_gan/run/bptt_moments.py`` (SURVEY.md §2 "Moment matching", §3.5,
+[BASELINE] config C5). Loss = weighted squared distance between generated
+and data tuning-curve moments (per-feature means + second moments /
+covariances), optimized with Adam on the same generator parameters.
+
+The moment weights follow the reference's scheme as recalled: each moment
+error is normalized by the data moment's scale so heterogeneous features
+contribute comparably:
+
+    L = mean_m [ (m_gen - m_data)^2 / (|m_data| + eps)^2 ]
+
+summed over mean-moments and (optionally) second-moment entries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models.generator import GeneratorConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MomentMatchingConfig:
+    gen: GeneratorConfig = GeneratorConfig()
+    batch_size: int = 64
+    lr: float = 1e-3
+    beta1: float = 0.5
+    beta2: float = 0.9
+    mean_weight: float = 1.0
+    cov_weight: float = 1.0
+    moment_eps: float = 1e-2
+    rate_cost: float = 0.01
+    seed: int = 0
+
+
+class MMState(NamedTuple):
+    gen_params: Dict[str, jnp.ndarray]
+    opt: Any
+    step: jnp.ndarray
+
+
+class MMMetrics(NamedTuple):
+    loss: jnp.ndarray
+    mean_err: jnp.ndarray
+    cov_err: jnp.ndarray
+    rate_penalty: jnp.ndarray
+    frac_converged: jnp.ndarray
+    frac_diverged: jnp.ndarray
+
+
+def data_moments(tc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean vector, second-moment matrix) of a set of TC samples (B, D)."""
+    mean = jnp.mean(tc, axis=0)
+    second = tc.T @ tc / tc.shape[0]
+    return mean, second
+
+
+def moment_loss(cfg: MomentMatchingConfig, gen_tc, data_mean, data_second):
+    gmean, gsecond = data_moments(gen_tc)
+    wm = 1.0 / (jnp.abs(data_mean) + cfg.moment_eps) ** 2
+    wc = 1.0 / (jnp.abs(data_second) + cfg.moment_eps) ** 2
+    mean_err = jnp.mean(wm * (gmean - data_mean) ** 2)
+    cov_err = jnp.mean(wc * (gsecond - data_second) ** 2)
+    return cfg.mean_weight * mean_err + cfg.cov_weight * cov_err, (mean_err, cov_err)
+
+
+def make_optimizer(cfg: MomentMatchingConfig):
+    return optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+
+
+def init_state(cfg: MomentMatchingConfig,
+               gen_init: Dict[str, jnp.ndarray] | None = None) -> MMState:
+    gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+    return MMState(gen_params, make_optimizer(cfg).init(gen_params),
+                   jnp.zeros((), jnp.int32))
+
+
+def train_step_impl(
+    cfg: MomentMatchingConfig,
+    state: MMState,
+    data_mean: jnp.ndarray,
+    data_second: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[MMState, MMMetrics]:
+    tx = make_optimizer(cfg)
+    k = jax.random.fold_in(key, state.step)
+
+    def loss_fn(gen_params):
+        out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, k, cfg.batch_size)
+        mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean, data_second)
+        pen = gen_lib.rate_penalty(cfg.gen, out.rates)
+        stats = (
+            me, ce, pen,
+            jnp.mean(out.converged.astype(jnp.float32)),
+            jnp.mean(out.diverged.astype(jnp.float32)),
+        )
+        return mloss + cfg.rate_cost * pen, stats
+
+    (loss, (me, ce, pen, fconv, fdiv)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.gen_params)
+    updates, opt = tx.update(grads, state.opt, state.gen_params)
+    gen_params = optax.apply_updates(state.gen_params, updates)
+    return (
+        MMState(gen_params, opt, state.step + 1),
+        MMMetrics(loss, me, ce, pen, fconv, fdiv),
+    )
+
+
+train_step = jax.jit(train_step_impl, static_argnames=("cfg",))

@@ -1,0 +1,214 @@
+"""WGAN-GP training assembly: losses, optimizers, fused train step.
+
+Reference parity: ``tc_gan/networks/bptt_gan.py`` (SURVEY.md §2 "BPTT WGAN",
+§3.1) — WGAN with gradient penalty [PAPERS.md: Gulrajani et al. 1704.00028],
+two-timescale Adam [PAPERS.md: TTUR], per-step schedule of
+``critic_iters`` discriminator updates then one generator update, and the
+rate penalty on runaway circuits.
+
+TPU-first deviations from the reference's structure (behavior preserved):
+
+- The reference compiled separate ``train_discriminator`` /
+  ``train_generator`` Theano functions and looped in Python. Here the WHOLE
+  GAN step — ``n_critic`` critic updates (a ``lax.scan``) followed by one
+  generator update — is a single jitted function, so the schedule runs
+  on-device without host round-trips.
+- The gradient penalty differentiates the critic w.r.t. its *input* only
+  (per the WGAN-GP objective), so no second-order autodiff through the SSN
+  solver is needed; the generator update backprops through the solver via
+  the custom_vjp IFT rule (or BPTT scan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tcgan_tpu.models import critic as critic_lib
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models.critic import CriticConfig
+from tcgan_tpu.models.generator import GeneratorConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WGANConfig:
+    """Static GAN hyper-parameters (reference flag family, SURVEY.md §5.6)."""
+
+    gen: GeneratorConfig = GeneratorConfig()
+    critic_layers: Tuple[int, ...] = (128, 128)
+    batch_size: int = 64  # circuits sampled per generator-side batch
+    gp_lambda: float = 10.0  # --WGAN_lambda
+    n_critic: int = 5  # --WGAN_n_critic (steady state)
+    n_critic0: int = 50  # --WGAN_n_critic0 (first step warm-up)
+    lr_gen: float = 1e-4
+    lr_critic: float = 1e-3
+    beta1: float = 0.5
+    beta2: float = 0.9
+    rate_cost: float = 0.01  # generator penalty on rates above soft bound
+    seed: int = 0
+
+    @property
+    def critic_cfg(self) -> CriticConfig:
+        return CriticConfig(
+            in_dim=self.gen.tc_dim, layers=self.critic_layers,
+            dtype=self.gen.dtype,
+        )
+
+    @property
+    def critic_batch(self) -> int:
+        """Number of critic-side samples one generator batch yields."""
+        return self.batch_size * self.gen.samples_per_circuit()
+
+
+class TrainState(NamedTuple):
+    gen_params: Dict[str, jnp.ndarray]
+    gen_opt: Any
+    critic_params: Dict[str, jnp.ndarray]
+    critic_opt: Any
+    step: jnp.ndarray
+
+
+class StepMetrics(NamedTuple):
+    """Per-step learning stats (the reference's learning.csv columns,
+    SURVEY.md §2 "Recorders")."""
+
+    d_loss: jnp.ndarray
+    g_loss: jnp.ndarray
+    wasserstein: jnp.ndarray  # E[D(real)] - E[D(fake)] (critic advantage)
+    gp: jnp.ndarray
+    rate_penalty: jnp.ndarray
+    frac_converged: jnp.ndarray
+    frac_diverged: jnp.ndarray
+    mean_iters: jnp.ndarray
+    d_accuracy: jnp.ndarray  # fraction of pairs ranked correctly
+
+
+def make_optimizers(cfg: WGANConfig):
+    gen_tx = optax.adam(cfg.lr_gen, b1=cfg.beta1, b2=cfg.beta2)
+    critic_tx = optax.adam(cfg.lr_critic, b1=cfg.beta1, b2=cfg.beta2)
+    return gen_tx, critic_tx
+
+
+def init_state(cfg: WGANConfig, key: jax.Array | None = None,
+               gen_init: Dict[str, jnp.ndarray] | None = None) -> TrainState:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    kc, _ = jax.random.split(key)
+    gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+    critic_params = critic_lib.init_params(cfg.critic_cfg, kc)
+    gen_tx, critic_tx = make_optimizers(cfg)
+    return TrainState(
+        gen_params=gen_params,
+        gen_opt=gen_tx.init(gen_params),
+        critic_params=critic_params,
+        critic_opt=critic_tx.init(critic_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def gradient_penalty(cfg: WGANConfig, critic_params, real, fake, key):
+    """WGAN-GP interpolate penalty: lambda * E[(||grad_xhat D|| - 1)^2]."""
+    eps = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1),
+                             dtype=real.dtype)
+    xhat = eps * real + (1.0 - eps) * fake
+
+    def score(x):
+        return critic_lib.apply(cfg.critic_cfg, critic_params, x)
+
+    grads = jax.vmap(jax.grad(lambda x: score(x[None])[0]))(xhat)
+    norms = jnp.sqrt(jnp.sum(grads**2, axis=tuple(range(1, grads.ndim))) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
+def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key):
+    d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
+    d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
+    gp = gradient_penalty(cfg, critic_params, real, fake, key)
+    wasserstein = jnp.mean(d_real) - jnp.mean(d_fake)
+    loss = -wasserstein + cfg.gp_lambda * gp
+    # rank accuracy: how often a real sample outscores a fake one
+    acc = jnp.mean((d_real[:, None] > d_fake[None, :]).astype(real.dtype))
+    return loss, (wasserstein, gp, acc)
+
+
+def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
+    out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, key, cfg.batch_size)
+    d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, out.tc)
+    pen = gen_lib.rate_penalty(cfg.gen, out.rates)
+    loss = -jnp.mean(d_fake) + cfg.rate_cost * pen
+    stats = (
+        pen,
+        jnp.mean(out.converged.astype(jnp.float32)),
+        jnp.mean(out.diverged.astype(jnp.float32)),
+        jnp.mean(out.iters.astype(jnp.float32)),
+    )
+    return loss, stats
+
+
+def train_step_impl(
+    cfg: WGANConfig,
+    n_critic: int,
+    state: TrainState,
+    real_stack: jnp.ndarray,  # (n_critic, critic_batch, tc_dim)
+    key: jax.Array,
+) -> Tuple[TrainState, StepMetrics]:
+    """One full GAN step: ``n_critic`` critic updates + 1 generator update,
+    entirely on-device. Unjitted implementation — use ``train_step`` (jitted)
+    or wrap via tcgan_tpu.parallel for mesh execution."""
+    gen_tx, critic_tx = make_optimizers(cfg)
+    key_c, key_g = jax.random.split(jax.random.fold_in(key, state.step))
+
+    def critic_update(carry, inp):
+        critic_params, critic_opt = carry
+        real, k = inp
+        k_z, k_gp = jax.random.split(k)
+        fake = gen_lib.sample_tuning_curves(
+            cfg.gen, state.gen_params, k_z, cfg.batch_size
+        ).tc
+        fake = jax.lax.stop_gradient(fake)
+        (loss, (w, gp, acc)), grads = jax.value_and_grad(
+            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp), has_aux=True
+        )(critic_params)
+        updates, critic_opt = critic_tx.update(grads, critic_opt, critic_params)
+        critic_params = optax.apply_updates(critic_params, updates)
+        return (critic_params, critic_opt), (loss, w, gp, acc)
+
+    keys_c = jax.random.split(key_c, n_critic)
+    (critic_params, critic_opt), (d_losses, ws, gps, accs) = jax.lax.scan(
+        critic_update, (state.critic_params, state.critic_opt),
+        (real_stack, keys_c),
+    )
+
+    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
+    )(state.gen_params)
+    g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+    gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+    new_state = TrainState(
+        gen_params=gen_params,
+        gen_opt=gen_opt,
+        critic_params=critic_params,
+        critic_opt=critic_opt,
+        step=state.step + 1,
+    )
+    metrics = StepMetrics(
+        d_loss=d_losses[-1],
+        g_loss=g_loss,
+        wasserstein=ws[-1],
+        gp=gps[-1],
+        rate_penalty=pen,
+        frac_converged=fconv,
+        frac_diverged=fdiv,
+        mean_iters=miters,
+        d_accuracy=accs[-1],
+    )
+    return new_state, metrics
+
+
+train_step = jax.jit(train_step_impl, static_argnames=("cfg", "n_critic"))

@@ -1,0 +1,132 @@
+"""Fixed-point solver: masked, batched `lax.while_loop` Euler iteration.
+
+Reference parity: ``tc_gan/ssnode.py::find_fixed_points`` + the OpenMP C
+solver in ``tc_gan/ext/`` (SURVEY.md §3.4). Semantics preserved:
+
+- iterate ``r <- r + (dt/tau) * (-r + f(W r + I))`` until the residual
+  ``max_i |-r_i + f(u_i)| < atol`` (converged), any rate exceeds
+  ``rate_stop_at`` (diverged), or ``max_iter`` is hit (unconverged);
+- per-sample convergence/divergence flags are first-class outputs — the GAN
+  layer penalizes/rejects flagged samples (SURVEY.md §5.3).
+
+TPU-first design: there is no per-sample early exit on a SIMD machine, so
+the whole batch runs one `lax.while_loop` on an "any sample still active"
+predicate with masked updates (work-inefficient per sample, SIMD-right
+overall; resolved samples are frozen via `jnp.where` so their values don't
+drift). The residual check happens every ``check_every`` iterations to keep
+the loop body a pure fused matmul+elementwise block between checks.
+
+This plain-XLA path is the semantic reference; the fused Pallas kernel in
+``tcgan_tpu.ops.pallas`` implements the same contract and is cross-checked
+against it (SURVEY.md §4's cross-implementation test pattern).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tcgan_tpu.ops.ssn import SSNConfig, recurrent_drive
+
+
+class FixedPointResult(NamedTuple):
+    """Solver output.
+
+    r:         (..., S, 2N) final rates (fixed point where ``converged``).
+    converged: (..., S) bool — residual dropped below atol.
+    diverged:  (..., S) bool — some rate exceeded rate_stop_at.
+    iters:     (..., S) int32 — iterations consumed when the sample resolved
+               (== max_iter for samples that never resolved).
+    """
+
+    r: jnp.ndarray
+    converged: jnp.ndarray
+    diverged: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def solve_fixed_point(
+    cfg: SSNConfig,
+    W: jnp.ndarray,
+    I_ext: jnp.ndarray,
+    r0: jnp.ndarray | None = None,
+    check_every: int = 1,
+) -> FixedPointResult:
+    """Solve the SSN fixed point for a batch of circuits and stimuli.
+
+    Args:
+      cfg: static configuration (dt, tau, io, atol, max_iter, rate_stop_at).
+      W: (..., 2N, 2N) weight matrices.
+      I_ext: (..., S, 2N) external inputs (S stimulus conditions per circuit;
+        broadcastable against W's leading dims).
+      r0: optional initial rates, defaults to zeros.
+      check_every: run the convergence/divergence reduction every k Euler
+        steps (k > 1 trades a few extra iterations for fewer reductions).
+
+    Returns:
+      FixedPointResult. Not differentiable (while_loop); use
+      :mod:`tcgan_tpu.ops.ift` for gradients through the solution.
+    """
+    f = cfg.io_fun()
+    dtype = W.dtype
+    lead = jnp.broadcast_shapes(W.shape[:-2], I_ext.shape[:-2])
+    S = I_ext.shape[-2]
+    n2 = W.shape[-1]
+    if r0 is None:
+        r0 = jnp.zeros(lead + (S, n2), dtype=dtype)
+    else:
+        r0 = jnp.broadcast_to(r0, lead + (S, n2)).astype(dtype)
+    I_ext = I_ext.astype(dtype)
+
+    dt_over_tau = (cfg.dt / cfg.tau_vector(dtype=dtype))  # (2N,)
+
+    def substeps(r):
+        def one(i, r):
+            u = recurrent_drive(W, r, I_ext)
+            delta = -r + f(u)
+            return r + dt_over_tau * delta
+        r = lax.fori_loop(0, check_every - 1, one, r) if check_every > 1 else r
+        u = recurrent_drive(W, r, I_ext)
+        delta = -r + f(u)
+        return r + dt_over_tau * delta, delta
+
+    class _State(NamedTuple):
+        r: jnp.ndarray
+        converged: jnp.ndarray
+        diverged: jnp.ndarray
+        iters: jnp.ndarray
+        it: jnp.ndarray
+
+    def cond(s: _State):
+        active = ~(s.converged | s.diverged)
+        return jnp.any(active) & (s.it < cfg.max_iter)
+
+    def body(s: _State):
+        r_new, delta = substeps(s.r)
+        err = jnp.max(jnp.abs(delta), axis=-1)  # (..., S)
+        peak = jnp.max(r_new, axis=-1)
+        active = ~(s.converged | s.diverged)
+        it_next = s.it + check_every
+        newly_div = active & (peak > cfg.rate_stop_at)
+        newly_conv = active & ~newly_div & (err < cfg.atol)
+        resolved_now = newly_div | newly_conv
+        return _State(
+            r=jnp.where(active[..., None], r_new, s.r),
+            converged=s.converged | newly_conv,
+            diverged=s.diverged | newly_div,
+            iters=jnp.where(resolved_now, it_next, s.iters),
+            it=it_next,
+        )
+
+    init = _State(
+        r=r0,
+        converged=jnp.zeros(lead + (S,), dtype=bool),
+        diverged=jnp.zeros(lead + (S,), dtype=bool),
+        iters=jnp.full(lead + (S,), cfg.max_iter, dtype=jnp.int32),
+        it=jnp.zeros((), dtype=jnp.int32),
+    )
+    out = lax.while_loop(cond, body, init)
+    return FixedPointResult(out.r, out.converged, out.diverged, out.iters)

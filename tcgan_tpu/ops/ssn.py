@@ -1,0 +1,123 @@
+"""SSN model configuration and the Euler dynamics step.
+
+The continuous dynamics (paper eq.; SURVEY.md §0):
+
+    tau_a * dr_i/dt = -r_i + f(u_i),   u = W @ r + I_ext
+
+with per-population time constants tau_E (first N neurons) / tau_I (last N)
+and io nonlinearity f from :mod:`tcgan_tpu.ops.io_funs`. The forward Euler
+step with timestep dt is
+
+    r <- r + (dt / tau) * (-r + f(W @ r + I_ext)).
+
+Reference parity: the scan body of ``tc_gan/networks/ssn.py`` (Theano path)
+and the C loop of ``tc_gan/ext/`` (native path) — one JAX implementation
+serves both (SURVEY.md §4's cross-implementation pattern collapses to
+cross-checking this step against the Pallas kernel and the C++ CPU baseline).
+
+Shape convention (TPU-first): the stimulus-condition axis S is kept as a
+leading matrix dimension so the recurrent drive is a real matmul
+
+    u = r @ W^T + I,   r: (..., S, 2N), W: (..., 2N, 2N)
+
+(M = S conditions, K = N' = 2N, N = 2N) instead of S separate matvecs —
+this is what puts the inner loop on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from tcgan_tpu.ops import io_funs
+
+# Default circuit parameters. The reference's exact defaults could not be
+# line-verified (empty reference mount — see SURVEY.md provenance notice);
+# these follow the paper's bandwidth-tuning setup as recalled in SURVEY.md §2
+# and are overridable everywhere (CLI: --J/--D/--S/--N/...).
+DEFAULT_J = ((0.0957, 0.0638), (0.1197, 0.0479))
+DEFAULT_D = ((0.7660, 0.5106), (0.9575, 0.3830))
+DEFAULT_S = ((0.2500, 0.0918), (0.2500, 0.0918))
+DEFAULT_BANDWIDTHS = (0.0, 0.0625, 0.125, 0.1875, 0.25, 0.5, 0.75, 1.0)
+DEFAULT_CONTRASTS = (20.0,)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSNConfig:
+    """Static (hashable, jit-safe) SSN + solver configuration.
+
+    Mirrors the reference's shared flag family (SURVEY.md §5.6): circuit
+    size/params, io type, integration step, solver tolerances, and the
+    divergence ceiling.
+    """
+
+    N: int = 51  # sites per population (2N neurons total)
+    k: float = 0.01
+    n: float = 2.2
+    tau_E: float = 0.016  # seconds
+    tau_I: float = 0.002
+    dt: float = 0.0005
+    io_type: str = "asym_power"
+    rate_soft_bound: float = 100.0
+    rate_hard_bound: float = 200.0
+    L: float = 1.0  # grid extent; sites span [-L/2, L/2]
+    smoothness: float = 0.03125  # stimulus edge smoothing
+    # Solver:
+    max_iter: int = 10000
+    atol: float = 1e-5  # convergence: max|dr/dt_scaled| < atol
+    rate_stop_at: float = 200.0  # divergence ceiling on any rate
+    seqlen: int = 4000  # BPTT path: number of unrolled Euler steps
+
+    def __post_init__(self):
+        if self.io_type not in io_funs.IO_TYPES:
+            raise ValueError(f"io_type must be one of {io_funs.IO_TYPES}")
+
+    @property
+    def num_neurons(self) -> int:
+        return 2 * self.N
+
+    def io_fun(self):
+        return io_funs.make_io_fun(
+            self.io_type, self.k, self.n, self.rate_soft_bound, self.rate_hard_bound
+        )
+
+    def io_deriv(self):
+        return io_funs.make_io_deriv(
+            self.io_type, self.k, self.n, self.rate_soft_bound, self.rate_hard_bound
+        )
+
+    def tau_vector(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(2N,) per-neuron time constants."""
+        return jnp.concatenate(
+            [
+                jnp.full((self.N,), self.tau_E, dtype=dtype),
+                jnp.full((self.N,), self.tau_I, dtype=dtype),
+            ]
+        )
+
+    def site_pos(self, dtype=jnp.float32) -> jnp.ndarray:
+        from tcgan_tpu.ops.weights import site_positions
+
+        return site_positions(self.N, self.L, dtype=dtype)
+
+
+def recurrent_drive(W: jnp.ndarray, r: jnp.ndarray, I_ext: jnp.ndarray) -> jnp.ndarray:
+    """u = r @ W^T + I_ext with r: (..., S, 2N), W: (..., 2N, 2N)."""
+    return jnp.einsum("...ij,...sj->...si", W, r) + I_ext
+
+
+def euler_step(cfg: SSNConfig, W, I_ext, r, dt_over_tau=None):
+    """One forward-Euler step; returns (r_next, drdt_scaled).
+
+    ``drdt_scaled = -r + f(u)`` (the step direction before dt/tau scaling) is
+    returned so callers can form the convergence criterion without
+    recomputing f.
+    """
+    if dt_over_tau is None:
+        dt_over_tau = cfg.dt / cfg.tau_vector(dtype=r.dtype)
+    f = cfg.io_fun()
+    u = recurrent_drive(W, r, I_ext)
+    delta = -r + f(u)
+    return r + dt_over_tau * delta, delta

@@ -1,0 +1,93 @@
+"""Device-mesh construction and sharded train-step factories.
+
+Parallelism layout ([BASELINE] config C5; SURVEY.md §2 parallelism census):
+
+- **Sample/data parallel (primary)**: the generator's circuit-sample batch
+  axis shards over the ``"batch"`` mesh axis. Every sampled circuit's SSN
+  solve is independent, so the only collectives are the loss/grad psums jit
+  inserts for the shared (replicated) generator/critic parameters — these
+  ride ICI.
+- **Tensor parallel (optional, large-N)**: the 2N neuron axis of W shards
+  over the ``"model"`` mesh axis; the solver's ``r @ W^T`` contraction then
+  reduce-scatters over ICI. Enabled by giving the mesh a model axis of
+  size > 1.
+
+Implementation style: jit automatic partitioning steered by sharding
+constraints on the quenched noise z (batch axis) and W (model axis) inside
+the generator (see ``GeneratorConfig.mesh_axis`` / ``model_axis``), plus
+input shardings on the real-data stack. This follows the scaling-book
+recipe: pick a mesh, annotate, let XLA insert collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_batch: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (batch [, model]) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_batch is None:
+        n_batch = len(devices) // n_model
+    use = np.array(devices[: n_batch * n_model]).reshape(n_batch, n_model)
+    return Mesh(use, (BATCH_AXIS, MODEL_AXIS))
+
+
+def _replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_sharded_gan_step(impl, mesh: Mesh):
+    """Shard a WGAN/cWGAN ``train_step_impl`` over ``mesh``.
+
+    Signature preserved: ``(cfg, n_critic, state, real_stack, key)``. The
+    model/optimizer state and RNG key are replicated; the real-data stack
+    (n_critic, batch, dim) shards its batch axis. The generator's internal
+    batch sharding comes from the ``mesh_axis`` constraint in
+    ``GeneratorConfig`` — pass a cfg with ``mesh_axis=BATCH_AXIS``.
+    """
+    repl = _replicated(mesh)
+    data_sh = NamedSharding(mesh, P(None, BATCH_AXIS))
+    return jax.jit(
+        impl,
+        static_argnames=("cfg", "n_critic"),
+        in_shardings=(repl, data_sh, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_sharded_mm_step(impl, mesh: Mesh):
+    """Shard a moment-matching ``train_step_impl`` over ``mesh``.
+
+    All inputs are replicated (data moments are small dense vectors); the
+    sample-parallel work comes from the generator's internal batch
+    constraint (``mesh_axis``)."""
+    repl = _replicated(mesh)
+    return jax.jit(
+        impl,
+        static_argnames=("cfg",),
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def with_mesh_axes(gen_cfg, batch: bool = True, model: bool = False):
+    """Return a copy of a GeneratorConfig with mesh sharding constraints
+    enabled."""
+    return dataclasses.replace(
+        gen_cfg,
+        mesh_axis=BATCH_AXIS if batch else None,
+        model_axis=MODEL_AXIS if model else None,
+    )

@@ -1,0 +1,180 @@
+"""Shared CLI flag machinery.
+
+Reference parity: the shared flag family across ``tc_gan/run/*.py``
+(SURVEY.md §5.6). Flag spellings follow the reference's recalled set where
+known (``--J/--D/--S`` as 2x2 row-major lists, ``--N``, ``--dt``,
+``--seqlen``, ``--sample-sites``, ``--bandwidths``, ``--contrasts``,
+``--WGAN_lambda``, ``--WGAN_n_critic``/``--WGAN_n_critic0``, ``--io_type``,
+``--track_offset_identity``, ``--include-inhibitory-neurons``,
+``--datastore``, ...); the exact upstream spellings could not be
+line-verified (empty reference mount — SURVEY.md provenance notice).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Sequence
+
+import numpy as np
+
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.ops.ssn import (
+    DEFAULT_BANDWIDTHS,
+    DEFAULT_CONTRASTS,
+    DEFAULT_D,
+    DEFAULT_J,
+    DEFAULT_S,
+    SSNConfig,
+)
+
+
+def mat22(values: Sequence[float]):
+    v = [float(x) for x in values]
+    if len(v) != 4:
+        raise argparse.ArgumentTypeError("expected 4 values (row-major 2x2)")
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def add_ssn_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("SSN circuit")
+    flat = lambda m: [x for row in m for x in row]
+    g.add_argument("--J", type=float, nargs=4, default=flat(DEFAULT_J),
+                   metavar="Jab", help="2x2 mean connectivity, row-major (EE EI IE II)")
+    g.add_argument("--D", type=float, nargs=4, default=flat(DEFAULT_D),
+                   metavar="Dab", help="2x2 disorder (delta), row-major")
+    g.add_argument("--S", type=float, nargs=4, default=flat(DEFAULT_S),
+                   metavar="Sab", help="2x2 spatial range (sigma), row-major")
+    g.add_argument("--N", type=int, default=51, help="sites per population")
+    g.add_argument("--k", type=float, default=0.01, help="io gain")
+    g.add_argument("--n", type=float, default=2.2, help="io exponent")
+    g.add_argument("--tau-E", type=float, default=0.016, help="E time constant (s)")
+    g.add_argument("--tau-I", type=float, default=0.002, help="I time constant (s)")
+    g.add_argument("--dt", type=float, default=0.0005, help="Euler step (s)")
+    g.add_argument("--seqlen", type=int, default=4000,
+                   help="BPTT path: unrolled Euler steps")
+    g.add_argument("--max-iter", type=int, default=10000,
+                   help="fixed-point path: max Euler iterations")
+    g.add_argument("--atol", type=float, default=1e-5,
+                   help="fixed-point residual tolerance")
+    g.add_argument("--rate-stop-at", type=float, default=200.0,
+                   help="divergence ceiling on rates")
+    g.add_argument("--io_type", choices=("asym_power", "asym_tanh", "asym_linear"),
+                   default="asym_power")
+    g.add_argument("--rate-soft-bound", type=float, default=100.0)
+    g.add_argument("--rate-hard-bound", type=float, default=200.0)
+    g.add_argument("--smoothness", type=float, default=0.03125,
+                   help="stimulus edge smoothness")
+
+
+def add_stimulus_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("stimulus battery / readout")
+    g.add_argument("--bandwidths", type=float, nargs="+",
+                   default=list(DEFAULT_BANDWIDTHS))
+    g.add_argument("--contrasts", type=float, nargs="+",
+                   default=list(DEFAULT_CONTRASTS))
+    g.add_argument("--sample-sites", type=int, default=1,
+                   help="number of probe sites read out (center-out)")
+    g.add_argument("--track_offset_identity", action="store_true",
+                   help="concatenate probe sites into one sample instead of "
+                        "treating each site as an independent sample")
+    g.add_argument("--include-inhibitory-neurons", action="store_true",
+                   help="also read out I cells at the probe sites")
+
+
+def add_gan_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("GAN")
+    g.add_argument("--disc-layers", type=int, nargs="+", default=[128, 128],
+                   help="critic MLP hidden layer sizes")
+    g.add_argument("--batch-size", type=int, default=64,
+                   help="circuits sampled per generator batch")
+    g.add_argument("--WGAN_lambda", type=float, default=10.0, dest="gp_lambda")
+    g.add_argument("--WGAN_n_critic", type=int, default=5, dest="n_critic")
+    g.add_argument("--WGAN_n_critic0", type=int, default=50, dest="n_critic0")
+    g.add_argument("--disc-learn-rate", type=float, default=1e-3, dest="lr_critic")
+    g.add_argument("--gen-learn-rate", type=float, default=1e-4, dest="lr_gen")
+    g.add_argument("--adam-beta1", type=float, default=0.5)
+    g.add_argument("--adam-beta2", type=float, default=0.9)
+    g.add_argument("--rate-cost", type=float, default=0.01)
+
+
+def add_run_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("run plumbing")
+    g.add_argument("--datastore", type=str, required=True,
+                   help="run directory for recorder streams / checkpoints")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--n-steps", type=int, default=1000)
+    g.add_argument("--checkpoint-every", type=int, default=100)
+    g.add_argument("--divergence-abort", type=float, default=0.5)
+    g.add_argument("--divergence-patience", type=int, default=20)
+    g.add_argument("--parallel", choices=("none", "mesh"), default="none",
+                   help="'mesh': shard the sample batch over all devices")
+    g.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
+                   default="float32")
+
+
+def add_data_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("data (real tuning curves)")
+    g.add_argument("--dataset", type=str, default=None,
+                   help=".npz/.npy/.mat tuning-curve dataset; if omitted, a "
+                        "fake-truth dataset is generated from --true-J/D/S")
+    g.add_argument("--true-J", type=float, nargs=4, default=None)
+    g.add_argument("--true-D", type=float, nargs=4, default=None)
+    g.add_argument("--true-S", type=float, nargs=4, default=None)
+    g.add_argument("--truth-samples", type=int, default=1024,
+                   help="fake-truth dataset size")
+    g.add_argument("--truth-seed", type=int, default=42)
+
+
+def ssn_config_from_args(args) -> SSNConfig:
+    return SSNConfig(
+        N=args.N, k=args.k, n=args.n, tau_E=args.tau_E, tau_I=args.tau_I,
+        dt=args.dt, io_type=args.io_type,
+        rate_soft_bound=args.rate_soft_bound,
+        rate_hard_bound=args.rate_hard_bound,
+        smoothness=args.smoothness, max_iter=args.max_iter, atol=args.atol,
+        rate_stop_at=args.rate_stop_at, seqlen=args.seqlen,
+    )
+
+
+def generator_config_from_args(args, solver: str) -> GeneratorConfig:
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "float64": jnp.float64}[args.dtype]
+    return GeneratorConfig(
+        ssn=ssn_config_from_args(args),
+        bandwidths=tuple(args.bandwidths),
+        contrasts=tuple(args.contrasts),
+        sample_sites=args.sample_sites,
+        track_offset_identity=args.track_offset_identity,
+        include_inhibitory_neurons=args.include_inhibitory_neurons,
+        solver=solver,
+        dtype=dtype,
+    )
+
+
+def as22(flat) -> tuple:
+    return ((flat[0], flat[1]), (flat[2], flat[3]))
+
+
+def resolve_true_params(args):
+    tj = as22(args.true_J) if args.true_J else DEFAULT_J
+    td = as22(args.true_D) if args.true_D else DEFAULT_D
+    ts = as22(args.true_S) if args.true_S else DEFAULT_S
+    return tj, td, ts
+
+
+def load_or_generate_dataset(args, gen_cfg: GeneratorConfig):
+    """Real tuning curves: from file, or fake truth from known params."""
+    from tcgan_tpu.data.datasets import (
+        TuningCurveDataset, generate_fake_truth, load_tuning_curves,
+    )
+
+    if args.dataset:
+        arr = load_tuning_curves(args.dataset)
+    else:
+        tj, td, ts = resolve_true_params(args)
+        arr = generate_fake_truth(
+            gen_cfg, tj, td, ts, args.truth_samples, seed=args.truth_seed,
+        )
+    return TuningCurveDataset.from_array(np.asarray(arr))

@@ -1,0 +1,110 @@
+"""Shared main() logic for the WGAN-family entry points."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Literal
+
+from tcgan_tpu.run import common
+
+
+def make_gan_parser(doc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=doc,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    common.add_ssn_flags(p)
+    common.add_stimulus_flags(p)
+    common.add_gan_flags(p)
+    common.add_data_flags(p)
+    common.add_run_flags(p)
+    return p
+
+
+def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
+    import dataclasses
+
+    import jax
+
+    from tcgan_tpu.models import cwgan as cwgan_lib
+    from tcgan_tpu.models import wgan as wgan_lib
+    from tcgan_tpu.train.datastore import DataStore
+    from tcgan_tpu.train.driver import DriverConfig, GANDriver
+
+    gen_cfg = common.generator_config_from_args(args, solver=solver)
+    if getattr(args, "bptt_checkpoint_chunk", 0):
+        gen_cfg = dataclasses.replace(
+            gen_cfg, bptt_checkpoint_chunk=args.bptt_checkpoint_chunk
+        )
+    model = cwgan_lib if conditional else wgan_lib
+    mk_cfg = cwgan_lib.CWGANConfig if conditional else wgan_lib.WGANConfig
+
+    step_fn = model.train_step
+    if args.parallel == "mesh":
+        from tcgan_tpu import parallel as par
+
+        mesh = par.make_mesh()
+        gen_cfg = dataclasses.replace(gen_cfg, mesh_axis=par.BATCH_AXIS)
+        step_impl = model.train_step_impl
+        sharded = par.make_sharded_gan_step(step_impl, mesh)
+        step_fn = sharded
+
+    cfg = mk_cfg(
+        gen=gen_cfg,
+        critic_layers=tuple(args.disc_layers),
+        batch_size=args.batch_size,
+        gp_lambda=args.gp_lambda,
+        n_critic=args.n_critic,
+        n_critic0=args.n_critic0,
+        lr_gen=args.lr_gen,
+        lr_critic=args.lr_critic,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        rate_cost=args.rate_cost,
+        seed=args.seed,
+    )
+
+    # Real data: for the conditional model the dataset must be
+    # condition-tagged; we build it from the battery layout.
+    data_gen_cfg = gen_cfg
+    if conditional:
+        data_gen_cfg = dataclasses.replace(gen_cfg, track_offset_identity=True)
+    dataset = common.load_or_generate_dataset(args, data_gen_cfg)
+
+    if conditional:
+        import jax.numpy as jnp
+
+        from tcgan_tpu.models.cwgan import tag_with_conditions
+
+        raw = dataset.tc.reshape(dataset.num_samples, cfg.gen.n_stim,
+                                 cfg.gen.n_probe)
+        tagged = tag_with_conditions(cfg, raw)
+        # group per circuit so sampling keeps condition blocks together
+        tagged = tagged.reshape(dataset.num_samples, cfg.gen.n_stim, -1)
+
+        def sampler(key, n_stacks, _batch):
+            idx = jax.random.randint(key, (n_stacks, cfg.batch_size), 0,
+                                     dataset.num_samples)
+            return tagged[idx].reshape(n_stacks,
+                                       cfg.batch_size * cfg.gen.n_stim, -1)
+    else:
+        def sampler(key, n_stacks, batch):
+            return dataset.sample_stack(key, n_stacks, batch)
+
+    store = DataStore(args.datastore)
+    store.write_info({"entry": "cwgan" if conditional else "wgan",
+                      "solver": solver, **vars(args)})
+    driver_cfg = DriverConfig(
+        n_steps=args.n_steps,
+        checkpoint_every=args.checkpoint_every,
+        divergence_abort=args.divergence_abort,
+        divergence_patience=args.divergence_patience,
+        seed=args.seed,
+    )
+    from tcgan_tpu.models import generator as gen_lib
+
+    gen_init = gen_lib.init_params(
+        cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S)
+    )
+    state = model.init_state(cfg, gen_init=gen_init)
+    driver = GANDriver(cfg, driver_cfg, store, step_fn, state, sampler)
+    driver.run()
+    return 0

@@ -1,0 +1,219 @@
+"""Training drivers: the step loop with recording, checkpointing, and
+numerical-failure accounting.
+
+Reference parity: ``tc_gan/drivers.py::GANDriver`` (SURVEY.md §2 "Training
+driver", §3.1, §5.3):
+
+- per step: sample real minibatches, ``n_critic`` critic updates + 1
+  generator update (fused on device here), record learning/param streams;
+- critic-iters schedule: ``n_critic0`` for the warm-up steps, ``n_critic``
+  afterwards (two jit specializations, compiled once each);
+- divergence accounting: per-step diverged fraction is tracked; if it
+  exceeds ``divergence_abort`` for ``divergence_patience`` consecutive
+  steps the run aborts with PervasiveDivergenceError (the reference's
+  KnownError semantics);
+- periodic orbax checkpoints (full state, resumable) + mean-TC snapshots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from tcgan_tpu.models import critic as critic_lib
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.train.checkpoint import CheckpointManager
+from tcgan_tpu.train.datastore import DataStore, PervasiveDivergenceError
+from tcgan_tpu.train.recorders import RecorderSet
+from tcgan_tpu.utils.stopwatch import StopWatch
+
+
+@dataclasses.dataclass(frozen=True)
+class DriverConfig:
+    n_steps: int = 1000
+    n_critic0_steps: int = 1  # how many initial steps use n_critic0
+    checkpoint_every: int = 100
+    tc_mean_every: int = 50
+    divergence_abort: float = 0.5  # abort if frac_diverged > this ...
+    divergence_patience: int = 20  # ... for this many consecutive steps
+    log_every: int = 10
+    seed: int = 0
+
+
+class GANDriver:
+    """Runs a WGAN/cWGAN fit. Model-agnostic: the model module supplies
+    ``train_step(cfg, n_critic, state, real_stack, key)`` and the config
+    supplies ``n_critic``/``n_critic0``/``critic_batch``."""
+
+    def __init__(
+        self,
+        model_cfg: Any,
+        driver_cfg: DriverConfig,
+        store: DataStore,
+        train_step: Callable,
+        state: Any,
+        real_sampler: Callable[[jax.Array, int, int], Any],
+        checkpoints: Optional[CheckpointManager] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = driver_cfg
+        self.store = store
+        self.train_step = train_step
+        self.state = state
+        self.real_sampler = real_sampler
+        self.checkpoints = checkpoints or CheckpointManager(store.subdir("ckpt"))
+        critic_names = list(state.critic_params.keys())
+        self.recorders = RecorderSet(store, critic_param_names=critic_names)
+        self.watch = StopWatch()
+        self._div_streak = 0
+
+    def run(self, n_steps: Optional[int] = None, on_step=None):
+        n_steps = n_steps if n_steps is not None else self.cfg.n_steps
+        key = jax.random.PRNGKey(self.cfg.seed)
+        start = int(self.state.step)
+        try:
+            for step in range(start, start + n_steps):
+                key, k_data, k_step = jax.random.split(key, 3)
+                n_critic = (
+                    self.model_cfg.n_critic0
+                    if step < self.cfg.n_critic0_steps
+                    else self.model_cfg.n_critic
+                )
+                real_stack = self.real_sampler(
+                    k_data, n_critic, self.model_cfg.critic_batch
+                )
+                with self.watch.time("train"):
+                    self.state, metrics = self.train_step(
+                        self.model_cfg, n_critic, self.state, real_stack, k_step
+                    )
+                    jax.block_until_ready(metrics)
+                self._record(step, metrics)
+                self._check_divergence(step, metrics)
+                if on_step is not None:
+                    on_step(step, self.state, metrics)
+                if (step + 1) % self.cfg.checkpoint_every == 0:
+                    self.checkpoints.save(step + 1, self.state)
+            self.checkpoints.save(start + n_steps, self.state)
+            self.store.finalize("finished")
+        except PervasiveDivergenceError as e:
+            self.store.finalize("known_error", {"error": str(e)})
+            raise
+        except BaseException:
+            self.store.finalize("crashed")
+            raise
+        finally:
+            self.recorders.close()
+        return self.state
+
+    # -- internals ---------------------------------------------------------
+
+    def _record(self, step: int, metrics):
+        row = {k: v for k, v in metrics._asdict().items()}
+        row["step"] = step
+        row["train_time"] = self.watch.last("train")
+        row["SSsolve_time"] = ""
+        row["gradient_time"] = ""
+        self.recorders.record_learning(row)
+        values = gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)
+        self.recorders.record_generator(step, values)
+        self.recorders.record_disc_stats(
+            step, critic_lib.param_stats(self.state.critic_params)
+        )
+        if self.cfg.tc_mean_every and step % self.cfg.tc_mean_every == 0:
+            key = jax.random.PRNGKey(step)
+            out = gen_lib.sample_tuning_curves(
+                self.model_cfg.gen, self.state.gen_params, key,
+                self.model_cfg.batch_size,
+            )
+            self.recorders.record_tc_mean(step, np.asarray(out.tc).mean(axis=0))
+
+    def _check_divergence(self, step: int, metrics):
+        frac = float(metrics.frac_diverged)
+        if frac > self.cfg.divergence_abort:
+            self._div_streak += 1
+        else:
+            self._div_streak = 0
+        if self._div_streak >= self.cfg.divergence_patience:
+            raise PervasiveDivergenceError(
+                f"step {step}: diverged fraction {frac:.2f} exceeded "
+                f"{self.cfg.divergence_abort} for {self._div_streak} steps"
+            )
+
+
+class MomentMatchingDriver:
+    """Driver for the non-adversarial moment-matching fit (reference:
+    ``run/bptt_moments.py`` flow, SURVEY.md §3.5)."""
+
+    def __init__(self, model_cfg, driver_cfg: DriverConfig, store: DataStore,
+                 train_step: Callable, state, data_moments,
+                 checkpoints: Optional[CheckpointManager] = None):
+        self.model_cfg = model_cfg
+        self.cfg = driver_cfg
+        self.store = store
+        self.train_step = train_step
+        self.state = state
+        self.data_mean, self.data_second = data_moments
+        self.checkpoints = checkpoints or CheckpointManager(store.subdir("ckpt"))
+        from tcgan_tpu.train.recorders import CSVRecorder, GEN_COLUMNS, JSONLRecorder
+        self._learning = CSVRecorder(
+            store.file("learning.csv"),
+            ["step", "loss", "mean_err", "cov_err", "rate_penalty",
+             "frac_converged", "frac_diverged", "train_time"],
+        )
+        self._jsonl = JSONLRecorder(store.file("learning.jsonl"))
+        self._gen = CSVRecorder(store.file("generator.csv"), GEN_COLUMNS)
+        self.watch = StopWatch()
+        self._div_streak = 0
+
+    def run(self, n_steps: Optional[int] = None, on_step=None):
+        n_steps = n_steps if n_steps is not None else self.cfg.n_steps
+        key = jax.random.PRNGKey(self.cfg.seed)
+        start = int(self.state.step)
+        try:
+            for step in range(start, start + n_steps):
+                key, k_step = jax.random.split(key)
+                with self.watch.time("train"):
+                    self.state, m = self.train_step(
+                        self.model_cfg, self.state, self.data_mean,
+                        self.data_second, k_step,
+                    )
+                    jax.block_until_ready(m)
+                row = dict(step=step, loss=m.loss, mean_err=m.mean_err,
+                           cov_err=m.cov_err, rate_penalty=m.rate_penalty,
+                           frac_converged=m.frac_converged,
+                           frac_diverged=m.frac_diverged,
+                           train_time=self.watch.last("train"))
+                self._learning.record(row)
+                self._jsonl.record(row)
+                from tcgan_tpu.train.recorders import flatten_gen_params
+                g = {"step": step}
+                g.update(flatten_gen_params(
+                    gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)))
+                self._gen.record(g)
+                if float(m.frac_diverged) > self.cfg.divergence_abort:
+                    self._div_streak += 1
+                else:
+                    self._div_streak = 0
+                if self._div_streak >= self.cfg.divergence_patience:
+                    raise PervasiveDivergenceError(
+                        f"step {step}: pervasive divergence")
+                if on_step is not None:
+                    on_step(step, self.state, m)
+                if (step + 1) % self.cfg.checkpoint_every == 0:
+                    self.checkpoints.save(step + 1, self.state)
+            self.checkpoints.save(start + n_steps, self.state)
+            self.store.finalize("finished")
+        except PervasiveDivergenceError as e:
+            self.store.finalize("known_error", {"error": str(e)})
+            raise
+        except BaseException:
+            self.store.finalize("crashed")
+            raise
+        finally:
+            self._learning.close()
+            self._jsonl.close()
+            self._gen.close()
+        return self.state

@@ -1,0 +1,123 @@
+"""Fixed-point solver tests: golden linear solution, flags, cross-check with
+the unrolled Euler path (the reference's cross-implementation pattern,
+SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu.ops import euler, fixed_point, weights, stimulus
+from tcgan_tpu.ops.ssn import SSNConfig
+
+
+def _small_cfg(**kw):
+    base = dict(N=8, k=0.01, n=2.2, dt=0.001, max_iter=20000, atol=1e-6)
+    base.update(kw)
+    return SSNConfig(**base)
+
+
+def _random_problem(cfg, key=0, batch=(), S=3, scale=0.5, contrast=5.0):
+    """A weakly-coupled (hence provably stable) random circuit in float64."""
+    kz, ki = jax.random.split(jax.random.PRNGKey(key))
+    J = jnp.array([[0.05, 0.04], [0.05, 0.03]], dtype=jnp.float64) * scale
+    D = jnp.array([[0.1, 0.08], [0.1, 0.08]], dtype=jnp.float64)
+    Ssp = jnp.array([[0.25, 0.1], [0.25, 0.1]], dtype=jnp.float64)
+    x = cfg.site_pos(dtype=jnp.float64)
+    z = weights.sample_z(kz, batch, cfg.N, dtype=jnp.float64)
+    W = weights.build_weight(J, D, Ssp, z, x)
+    I = stimulus.stimulus_battery(
+        (0.25, 0.5, 1.0)[:S], (contrast,), x, cfg.smoothness
+    )
+    return W, I
+
+
+def test_golden_linear_fixed_point():
+    """n=1 power law with an all-positive solution has the closed form
+    r* = k (I - k W)^{-1} I_ext — implementation-independent golden value."""
+    cfg = _small_cfg(n=1.0, k=0.05, max_iter=100000, atol=1e-9)
+    W, I = _random_problem(cfg, contrast=20.0)
+    res = fixed_point.solve_fixed_point(cfg, W, I)
+    assert bool(jnp.all(res.converged))
+    Wn, In = np.asarray(W, dtype=np.float64), np.asarray(I, dtype=np.float64)
+    n2 = Wn.shape[-1]
+    golden = np.stack(
+        [np.linalg.solve(np.eye(n2) - cfg.k * Wn, cfg.k * In[s]) for s in range(In.shape[0])]
+    )
+    assert np.all(golden > 0), "test setup must give an interior solution"
+    np.testing.assert_allclose(np.asarray(res.r), golden, rtol=1e-3, atol=1e-5)
+
+
+def test_converges_on_stable_circuit():
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg)
+    res = fixed_point.solve_fixed_point(cfg, W, I)
+    assert bool(jnp.all(res.converged))
+    assert not bool(jnp.any(res.diverged))
+    assert np.all(np.asarray(res.iters) < cfg.max_iter)
+    # residual is genuinely small
+    f = cfg.io_fun()
+    u = jnp.einsum("ij,sj->si", W, res.r) + I
+    resid = np.max(np.abs(np.asarray(-res.r + f(u))))
+    assert resid < cfg.atol * 1.01
+
+
+def test_divergence_flagging():
+    """A strongly self-exciting circuit with supralinear io must diverge."""
+    cfg = _small_cfg(n=2.0, k=0.05, rate_stop_at=100.0)
+    n2 = cfg.num_neurons
+    W = 5.0 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n2, n2)))
+    I = 30.0 * jnp.ones((1, n2))
+    res = fixed_point.solve_fixed_point(cfg, W, I)
+    assert bool(jnp.all(res.diverged))
+    assert not bool(jnp.any(res.converged))
+
+
+def test_check_every_equivalence():
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg)
+    r1 = fixed_point.solve_fixed_point(cfg, W, I, check_every=1)
+    r5 = fixed_point.solve_fixed_point(cfg, W, I, check_every=5)
+    assert bool(jnp.all(r5.converged))
+    np.testing.assert_allclose(np.asarray(r1.r), np.asarray(r5.r), atol=5e-4)
+
+
+def test_euler_scan_matches_while_loop():
+    """Cross-implementation: unrolled scan (BPTT path) lands on the same
+    fixed point as the while_loop solver."""
+    cfg = _small_cfg(seqlen=6000)
+    W, I = _random_problem(cfg)
+    fp = fixed_point.solve_fixed_point(cfg, W, I)
+    dyn = euler.solve_dynamics(cfg, W, I)
+    assert bool(jnp.all(dyn.converged))
+    np.testing.assert_allclose(np.asarray(fp.r), np.asarray(dyn.r), atol=1e-4)
+
+
+def test_checkpointed_scan_matches_plain():
+    cfg = _small_cfg(seqlen=2000)
+    W, I = _random_problem(cfg)
+    plain = euler.solve_dynamics(cfg, W, I)
+    remat = euler.solve_dynamics(cfg, W, I, checkpoint_chunk=100)
+    np.testing.assert_allclose(np.asarray(plain.r), np.asarray(remat.r), rtol=1e-6)
+
+
+def test_batched_and_vmap_consistency():
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg, batch=(4,))
+    res = fixed_point.solve_fixed_point(cfg, W, I)
+    assert res.r.shape == (4, 3, cfg.num_neurons)
+    res0 = fixed_point.solve_fixed_point(cfg, W[0], I)
+    np.testing.assert_allclose(np.asarray(res.r[0]), np.asarray(res0.r), atol=1e-6)
+
+
+def test_bptt_gradient_flows():
+    cfg = _small_cfg(seqlen=300)
+    W, I = _random_problem(cfg)
+
+    def loss(W):
+        res = euler.solve_dynamics(cfg, W, I, checkpoint_chunk=50)
+        return jnp.sum(res.r)
+
+    g = jax.grad(loss)(W)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0

@@ -1,0 +1,60 @@
+"""Cross-implementation test: fused Pallas kernel vs the plain-XLA solver
+(interpret mode on CPU; the on-TPU run is exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu.ops import fixed_point, stimulus, weights
+from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
+from tcgan_tpu.ops.ssn import SSNConfig
+
+
+def _problem(B=5):
+    cfg = SSNConfig(N=8, k=0.01, n=2.2, dt=0.001, max_iter=4000, atol=1e-6)
+    J = jnp.array([[0.025, 0.02], [0.025, 0.015]], dtype=jnp.float32)
+    D = jnp.array([[0.1, 0.08], [0.1, 0.08]], dtype=jnp.float32)
+    Ssp = jnp.array([[0.25, 0.1], [0.25, 0.1]], dtype=jnp.float32)
+    x = cfg.site_pos()
+    z = weights.sample_z(jax.random.PRNGKey(11), (B,), cfg.N)
+    W = weights.build_weight(J, D, Ssp, z, x)
+    I = stimulus.stimulus_battery((0.25, 1.0), (5.0,), x, cfg.smoothness)
+    return cfg, W.astype(jnp.float32), I.astype(jnp.float32)
+
+
+def test_pallas_matches_xla_solver():
+    cfg, W, I = _problem()
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
+                                   interpret=True)
+    assert out.r.shape == ref.r.shape
+    assert bool(ref.converged.all())
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_flags_divergence():
+    cfg = SSNConfig(N=4, k=0.05, n=2.0, dt=0.001, max_iter=2000,
+                    rate_stop_at=100.0, atol=1e-6)
+    n2 = cfg.num_neurons
+    key = jax.random.PRNGKey(0)
+    W_bad = 5.0 * jnp.abs(jax.random.normal(key, (2, n2, n2)))
+    I = 30.0 * jnp.ones((1, n2), jnp.float32)
+    out = solve_fixed_point_pallas(cfg, W_bad.astype(jnp.float32), I,
+                                   block_b=2, interpret=True)
+    assert bool(out.diverged.all())
+    assert not bool(out.converged.any())
+
+
+def test_pallas_ragged_batch_padding():
+    """Batch not divisible by block_b: padded circuits must not leak into
+    the returned results."""
+    cfg, W, I = _problem(B=3)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, interpret=True)
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    assert out.r.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,124 @@
+"""WGAN/cWGAN/moment-matching smoke + semantics tests on tiny configs.
+
+Reference test analog: the smoke/integration tier of SURVEY.md §4 — tiny
+deterministic configs, fake-truth data generated on the fly, assert the
+train step runs, shapes line up, and parameters actually move.
+
+Kept deliberately small: this sandbox's per-dispatch overhead is large, so
+each test does one or two fused jit calls.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu.models import cwgan as cwgan_lib
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models import moments as mm_lib
+from tcgan_tpu.models import wgan as wgan_lib
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.ops.ssn import SSNConfig
+
+TINY_SSN = SSNConfig(N=6, k=0.005, n=2.0, dt=0.001, max_iter=3000, atol=1e-5,
+                     seqlen=400)
+TINY_GEN = GeneratorConfig(
+    ssn=TINY_SSN,
+    bandwidths=(0.25, 1.0),
+    contrasts=(5.0,),
+    sample_sites=1,
+    solver="ift",
+    dtype=jnp.float64,
+)
+
+
+def tiny_wgan_cfg(**kw):
+    base = dict(gen=TINY_GEN, critic_layers=(16, 16), batch_size=4,
+                n_critic=2, n_critic0=2, seed=0)
+    base.update(kw)
+    return wgan_lib.WGANConfig(**base)
+
+
+def test_generator_forward_shapes():
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(0), 3
+    )
+    assert out.tc.shape == (3, TINY_GEN.tc_dim)
+    assert out.rates.shape == (3, TINY_GEN.n_stim, TINY_SSN.num_neurons)
+    assert bool(out.converged.all())
+    # sanity: rates nonnegative-ish (power-law io keeps them >= 0 at the fp)
+    assert float(out.rates.min()) >= -1e-6
+
+
+def test_generator_track_offset_identity_shapes():
+    cfg = dataclasses.replace(TINY_GEN, sample_sites=3,
+                              track_offset_identity=True,
+                              include_inhibitory_neurons=True)
+    out = gen_lib.sample_tuning_curves(
+        cfg, gen_lib.init_params(cfg), jax.random.PRNGKey(0), 2
+    )
+    assert cfg.n_probe == 6
+    assert out.tc.shape == (2, cfg.n_stim * 6)
+    cfg2 = dataclasses.replace(cfg, track_offset_identity=False)
+    out2 = gen_lib.sample_tuning_curves(
+        cfg2, gen_lib.init_params(cfg2), jax.random.PRNGKey(0), 2
+    )
+    assert out2.tc.shape == (2 * 6, cfg.n_stim)
+
+
+def test_wgan_train_step_runs_and_learns():
+    cfg = tiny_wgan_cfg()
+    state = wgan_lib.init_state(cfg)
+    real = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim),
+        dtype=jnp.float64,
+    ) * 0.1 + 1.0
+    state2, m = wgan_lib.train_step(cfg, cfg.n_critic, state, real,
+                                    jax.random.PRNGKey(2))
+    assert int(state2.step) == 1
+    for field in ("d_loss", "g_loss", "wasserstein", "gp"):
+        assert np.isfinite(float(getattr(m, field))), field
+    # params moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.gen_params,
+        state2.gen_params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    assert float(m.frac_converged) == 1.0
+
+
+def test_cwgan_train_step_runs():
+    cfg = cwgan_lib.CWGANConfig(gen=TINY_GEN, critic_layers=(16, 16),
+                                batch_size=4, n_critic=2, n_critic0=2)
+    state = cwgan_lib.init_state(cfg)
+    real_fake, _ = cwgan_lib.sample_conditional(
+        cfg, state.gen_params, jax.random.PRNGKey(3), cfg.batch_size)
+    real_stack = jnp.broadcast_to(
+        real_fake[None], (cfg.n_critic,) + real_fake.shape)
+    state2, m = cwgan_lib.train_step(cfg, cfg.n_critic, state, real_stack,
+                                     jax.random.PRNGKey(4))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(m.d_loss))
+    # tagged sample layout: (B*S, P + 2)
+    assert real_fake.shape == (cfg.batch_size * cfg.gen.n_stim,
+                               cfg.gen.n_probe + 2)
+
+
+def test_moment_matching_reduces_loss_toward_truth():
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=8, lr=5e-2)
+    true_params = gen_lib.init_params(cfg.gen)  # data from the same params
+    out = gen_lib.sample_tuning_curves(cfg.gen, true_params,
+                                       jax.random.PRNGKey(10), 64)
+    dm, ds = mm_lib.data_moments(out.tc)
+
+    # start from perturbed params; a few steps should reduce the loss
+    start = {k: v + 0.3 for k, v in true_params.items()}
+    state = mm_lib.MMState(start, mm_lib.make_optimizer(cfg).init(start),
+                           jnp.zeros((), jnp.int32))
+    losses = []
+    for i in range(5):
+        state, m = mm_lib.train_step(cfg, state, dm, ds, jax.random.PRNGKey(11))
+        losses.append(float(m.loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
