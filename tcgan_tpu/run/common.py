@@ -64,6 +64,14 @@ def add_ssn_flags(p: argparse.ArgumentParser):
     g.add_argument("--rate-hard-bound", type=float, default=200.0)
     g.add_argument("--smoothness", type=float, default=0.03125,
                    help="stimulus edge smoothness")
+    g.add_argument("--solver-backend", choices=("xla", "pallas"),
+                   default="xla",
+                   help="fixed-point forward: lockstep XLA while_loop vs "
+                        "fused Pallas kernel (TPU)")
+    g.add_argument("--check-every", type=int, default=1,
+                   help="convergence-check stride (Euler steps)")
+    g.add_argument("--pallas-block-b", type=int, default=8,
+                   help="circuits per Pallas kernel tile")
 
 
 def add_stimulus_flags(p: argparse.ArgumentParser):
@@ -101,6 +109,8 @@ def add_run_flags(p: argparse.ArgumentParser):
     g = p.add_argument_group("run plumbing")
     g.add_argument("--datastore", type=str, required=True,
                    help="run directory for recorder streams / checkpoints")
+    g.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the datastore")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--n-steps", type=int, default=1000)
     g.add_argument("--checkpoint-every", type=int, default=100)
@@ -133,6 +143,8 @@ def ssn_config_from_args(args) -> SSNConfig:
         rate_hard_bound=args.rate_hard_bound,
         smoothness=args.smoothness, max_iter=args.max_iter, atol=args.atol,
         rate_stop_at=args.rate_stop_at, seqlen=args.seqlen,
+        backend=args.solver_backend, check_every=args.check_every,
+        pallas_block_b=args.pallas_block_b,
     )
 
 

@@ -100,11 +100,16 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         seed=args.seed,
     )
     from tcgan_tpu.models import generator as gen_lib
+    from tcgan_tpu.train.checkpoint import CheckpointManager
 
     gen_init = gen_lib.init_params(
         cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S)
     )
     state = model.init_state(cfg, gen_init=gen_init)
-    driver = GANDriver(cfg, driver_cfg, store, step_fn, state, sampler)
+    ckpt = CheckpointManager(store.subdir("ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    driver = GANDriver(cfg, driver_cfg, store, step_fn, state, sampler,
+                       checkpoints=ckpt)
     driver.run()
     return 0

@@ -84,8 +84,14 @@ def main(argv=None):
             common.as22(args.S),
         ),
     )
+    from tcgan_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(store.subdir("ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
     driver = MomentMatchingDriver(
-        cfg, driver_cfg, store, step_fn, state, dataset.moments()
+        cfg, driver_cfg, store, step_fn, state, dataset.moments(),
+        checkpoints=ckpt,
     )
     driver.run()
     return 0

@@ -1,0 +1,134 @@
+"""Driver-loop tests with a stub train step (fast, no solver) plus a real
+tiny end-to-end moment-matching run.
+
+Reference test analog: driver/smoke tier of SURVEY.md §4."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models import moments as mm_lib
+from tcgan_tpu.models import wgan as wgan_lib
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.models.wgan import StepMetrics, TrainState
+from tcgan_tpu.ops.ssn import SSNConfig
+from tcgan_tpu.train.datastore import DataStore, PervasiveDivergenceError
+from tcgan_tpu.train.driver import DriverConfig, GANDriver
+
+TINY_GEN = GeneratorConfig(
+    ssn=SSNConfig(N=6, k=0.005, n=2.0, dt=0.001, max_iter=2000, atol=1e-5),
+    bandwidths=(0.25, 1.0), contrasts=(5.0,), sample_sites=1,
+    solver="ift", dtype=jnp.float64,
+)
+
+
+def _stub_step(diverged_frac=0.0):
+    def step(cfg, n_critic, state, real_stack, key):
+        z = jnp.zeros(())
+        m = StepMetrics(z, z, z, z, z, z,
+                        jnp.asarray(diverged_frac), z, z)
+        return state._replace(step=state.step + 1), m
+
+    return step
+
+
+def _sampler(key, n, b):
+    return jnp.zeros((n, b, TINY_GEN.tc_dim))
+
+
+def _mk_driver(tmp_path, step_fn, **driver_kw):
+    cfg = wgan_lib.WGANConfig(gen=TINY_GEN, critic_layers=(8,),
+                              batch_size=2, n_critic=2, n_critic0=3)
+    state = wgan_lib.init_state(cfg)
+    store = DataStore(tmp_path / "run")
+    store.write_info({"entry": "test"})
+    dcfg = DriverConfig(n_steps=5, checkpoint_every=100, tc_mean_every=0,
+                        **driver_kw)
+    return GANDriver(cfg, dcfg, store, step_fn, state, _sampler), store
+
+
+def test_driver_runs_and_records(tmp_path):
+    seen = []
+
+    def spy(cfg, n_critic, state, real_stack, key):
+        seen.append((n_critic, real_stack.shape))
+        return _stub_step()(cfg, n_critic, state, real_stack, key)
+
+    driver, store = _mk_driver(tmp_path, spy)
+    final = driver.run()
+    assert int(final.step) == 5
+    # critic-iters schedule: warm-up value on step 0, steady after
+    assert seen[0][0] == 3 and seen[1][0] == 2
+    assert seen[0][1][0] == 3 and seen[1][1][0] == 2
+    info = json.loads((store.path / "info.json").read_text())
+    assert info["status"] == "finished"
+    lines = (store.path / "learning.csv").read_text().strip().split("\n")
+    assert len(lines) == 6  # header + 5 steps
+    gen_lines = (store.path / "generator.csv").read_text().strip().split("\n")
+    assert len(gen_lines) == 6
+    # checkpoint written at end
+    assert driver.checkpoints.latest_step() == 5
+
+
+def test_driver_aborts_on_pervasive_divergence(tmp_path):
+    driver, store = _mk_driver(
+        tmp_path, _stub_step(diverged_frac=0.9),
+        divergence_abort=0.5, divergence_patience=3,
+    )
+    with pytest.raises(PervasiveDivergenceError):
+        driver.run()
+    info = json.loads((store.path / "info.json").read_text())
+    assert info["status"] == "known_error"
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    driver, store = _mk_driver(tmp_path, _stub_step())
+    final = driver.run()
+    restored = driver.checkpoints.restore(
+        jax.tree_util.tree_map(jnp.zeros_like, final))
+    chex_equal = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        final, restored)
+    assert all(jax.tree_util.tree_leaves(chex_equal))
+
+
+def test_fake_truth_generation_and_mm_driver(tmp_path):
+    from tcgan_tpu.data.datasets import TuningCurveDataset, generate_fake_truth
+    from tcgan_tpu.train.driver import MomentMatchingDriver
+
+    arr = generate_fake_truth(TINY_GEN, ((0.02, 0.016), (0.02, 0.012)),
+                              ((0.05, 0.04), (0.05, 0.04)),
+                              ((0.25, 0.1), (0.25, 0.1)),
+                              num_samples=12, batch=8)
+    assert arr.shape == (12, TINY_GEN.tc_dim)
+    assert np.isfinite(arr).all() and (arr >= 0).all()
+
+    ds = TuningCurveDataset.from_array(arr, dtype=jnp.float64)
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=4, lr=1e-2)
+    state = mm_lib.init_state(cfg)
+    store = DataStore(tmp_path / "mm")
+    store.write_info({"entry": "mm"})
+    drv = MomentMatchingDriver(cfg, DriverConfig(n_steps=2), store,
+                               mm_lib.train_step, state, ds.moments())
+    final = drv.run()
+    assert int(final.step) == 2
+    lines = (store.path / "learning.csv").read_text().strip().split("\n")
+    assert len(lines) == 3
+
+
+def test_fake_truth_unstable_params_raise(tmp_path):
+    from tcgan_tpu.data.datasets import generate_fake_truth
+    from tcgan_tpu.train.datastore import KnownError
+
+    bad = dataclasses.replace(
+        TINY_GEN, ssn=dataclasses.replace(TINY_GEN.ssn, k=0.2, max_iter=500))
+    with pytest.raises(KnownError):
+        generate_fake_truth(bad, ((5.0, 0.01), (5.0, 0.01)),
+                            ((0.01, 0.01), (0.01, 0.01)),
+                            ((0.3, 0.3), (0.3, 0.3)),
+                            num_samples=8, batch=4)

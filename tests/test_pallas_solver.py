@@ -23,11 +23,12 @@ def _problem(B=5):
     return cfg, W.astype(jnp.float32), I.astype(jnp.float32)
 
 
-def test_pallas_matches_xla_solver():
+@pytest.mark.parametrize("layout", ["rows", "t"])
+def test_pallas_matches_xla_solver(layout):
     cfg, W, I = _problem()
     ref = fixed_point.solve_fixed_point(cfg, W, I)
     out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
-                                   interpret=True)
+                                   interpret=True, layout=layout)
     assert out.r.shape == ref.r.shape
     assert bool(ref.converged.all())
     np.testing.assert_array_equal(np.asarray(out.converged),
@@ -58,3 +59,24 @@ def test_pallas_ragged_batch_padding():
     assert out.r.shape[0] == 3
     np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_backend_dispatch_through_ift():
+    """cfg.backend='pallas' routes the generator forward through the kernel
+    (interpreted off-TPU) while IFT backward stays on the XLA matvec path;
+    gradients must match the xla-backend gradients."""
+    import dataclasses
+
+    from tcgan_tpu.ops import ift
+
+    cfg, W, I = _problem(B=4)
+    cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_block_b=4)
+
+    def loss(cfg_used, W):
+        res = ift.solve_fixed_point_implicit(cfg_used, W, I, bwd_atol=1e-8)
+        return jnp.mean(res.r**2)
+
+    g_x = jax.grad(lambda W: loss(cfg, W))(W)
+    g_p = jax.grad(lambda W: loss(cfg_p, W))(W)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-3, atol=1e-6)
