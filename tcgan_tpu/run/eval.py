@@ -1,0 +1,107 @@
+"""Evaluate a fitted run: tuning-curve distribution parity + parameter
+recovery.
+
+Reference parity: the analyzer CLIs of ``tc_gan/analyzers/`` (SURVEY.md §2
+"Analyzers / loaders") — TC-distribution comparison and parameter-recovery
+metrics; the W1 number is the parity gate named in BASELINE.md.
+
+Usage:
+    python -m tcgan_tpu.run.eval --run runs/gan --datastore runs/gan_eval \
+        [--dataset data.npz | --true-J ... --true-D ... --true-S ...] \
+        [same SSN/stimulus flags as the training run]
+
+Loads the final generator parameters from the run's ``generator.csv``,
+samples tuning curves, and prints a JSON line with W1 / sliced-W1 against
+the dataset and relative parameter-recovery errors against the true params
+(when given).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from tcgan_tpu.run import common
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    common.add_ssn_flags(p)
+    common.add_stimulus_flags(p)
+    common.add_data_flags(p)
+    p.add_argument("--run", type=str, required=True,
+                   help="datastore of the fitted run (reads generator.csv)")
+    p.add_argument("--datastore", type=str, default=None,
+                   help="optional dir to write eval artifacts")
+    p.add_argument("--eval-samples", type=int, default=256,
+                   help="generated circuits for the comparison")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
+                   default="float32")
+    p.add_argument("--parallel", choices=("none", "mesh"), default="none")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from tcgan_tpu.analysis import load_run
+    from tcgan_tpu.analysis.metrics import (
+        param_recovery_error, sliced_w1, tc_w1,
+    )
+    from tcgan_tpu.models import generator as gen_lib
+
+    gen_cfg = common.generator_config_from_args(args, solver="ift")
+    rec = load_run(args.run)
+    fitted = rec.final_gen_params()  # {"J","D","S"} 2x2 value-space
+    params = gen_lib.init_params(
+        gen_cfg, tuple(map(tuple, fitted["J"])),
+        tuple(map(tuple, fitted["D"])), tuple(map(tuple, fitted["S"])),
+    )
+
+    forward = jax.jit(lambda k: gen_lib.sample_tuning_curves(
+        gen_cfg, params, k, args.eval_samples))
+    out = forward(jax.random.PRNGKey(args.seed))
+    ok = np.asarray(out.converged.all(axis=-1))
+    tc = np.asarray(out.tc)
+    spc = gen_cfg.samples_per_circuit()
+    gen_tc = tc[np.repeat(ok, spc)] if not gen_cfg.track_offset_identity else tc[ok]
+
+    dataset = common.load_or_generate_dataset(args, gen_cfg)
+    data_tc = np.asarray(dataset.tc)
+
+    result = {
+        "n_gen": int(gen_tc.shape[0]),
+        "n_data": int(data_tc.shape[0]),
+        "tc_w1": tc_w1(gen_tc, data_tc),
+        "sliced_w1": sliced_w1(gen_tc, data_tc),
+        "frac_converged": float(np.asarray(out.converged).mean()),
+        "fitted_params": {k: v.tolist() for k, v in fitted.items()},
+    }
+    if args.true_J:
+        true = {"J": np.asarray(common.as22(args.true_J)),
+                "D": np.asarray(common.as22(args.true_D or args.true_J)),
+                "S": np.asarray(common.as22(args.true_S or args.true_J))}
+        result["param_recovery_error"] = param_recovery_error(
+            {k: np.asarray(v) for k, v in fitted.items()}, true)
+
+    if args.datastore:
+        from tcgan_tpu.train.datastore import DataStore
+
+        store = DataStore(args.datastore)
+        store.write_info({"entry": "eval", **vars(args)})
+        np.savez(store.file("eval_tuning_curves.npz"), gen_tc=gen_tc,
+                 data_tc=data_tc)
+        store.finalize("finished", {"result": result})
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
