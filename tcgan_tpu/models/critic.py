@@ -26,6 +26,9 @@ class CriticConfig:
     layers: Tuple[int, ...] = (128, 128)
     activation: str = "relu"  # relu | tanh | gelu
     dtype: Any = jnp.float32
+    # Optional static per-feature input scale (the reference's
+    # normalization knob: divide TC inputs by the dataset's mean TC).
+    input_scale: Tuple[float, ...] | None = None
 
 
 def _act(name: str):
@@ -51,6 +54,8 @@ def apply(
     input_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Critic score, shape (..., ) for input (..., in_dim)."""
+    if input_scale is None and cfg.input_scale is not None:
+        input_scale = jnp.asarray(cfg.input_scale, dtype=x.dtype)
     h = x if input_scale is None else x * input_scale
     n_layers = len(cfg.layers)
     act = _act(cfg.activation)

@@ -48,6 +48,7 @@ class CWGANConfig(WGANConfig):
             in_dim=self.gen.n_probe + self.cond_dim,
             layers=self.critic_layers,
             dtype=self.gen.dtype,
+            input_scale=self.input_scale,
         )
 
     @property

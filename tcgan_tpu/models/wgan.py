@@ -51,12 +51,15 @@ class WGANConfig:
     beta2: float = 0.9
     rate_cost: float = 0.01  # generator penalty on rates above soft bound
     seed: int = 0
+    # per-feature critic input scale (1/mean TC of the dataset when the
+    # --normalize-input knob is on); None = raw inputs
+    input_scale: Tuple[float, ...] | None = None
 
     @property
     def critic_cfg(self) -> CriticConfig:
         return CriticConfig(
             in_dim=self.gen.tc_dim, layers=self.critic_layers,
-            dtype=self.gen.dtype,
+            dtype=self.gen.dtype, input_scale=self.input_scale,
         )
 
     @property

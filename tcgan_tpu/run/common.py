@@ -103,6 +103,8 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--adam-beta1", type=float, default=0.5)
     g.add_argument("--adam-beta2", type=float, default=0.9)
     g.add_argument("--rate-cost", type=float, default=0.01)
+    g.add_argument("--normalize-input", action="store_true",
+                   help="scale critic inputs by 1/mean dataset tuning curve")
 
 
 def add_run_flags(p: argparse.ArgumentParser):

@@ -47,8 +47,28 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         sharded = par.make_sharded_gan_step(step_impl, mesh)
         step_fn = sharded
 
+    # Real data first (also needed for the input-normalization scale).
+    data_gen_cfg = gen_cfg
+    if conditional:
+        data_gen_cfg = dataclasses.replace(gen_cfg, track_offset_identity=True)
+    dataset = common.load_or_generate_dataset(args, data_gen_cfg)
+
+    input_scale = None
+    if getattr(args, "normalize_input", False):
+        import numpy as np
+
+        mean_tc = np.asarray(dataset.tc).mean(axis=0)
+        scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
+        if conditional:
+            # conditional critic sees (per-condition probe block, cond tag)
+            n_probe = gen_cfg.n_probe
+            probe_scale = scale.reshape(gen_cfg.n_stim, n_probe).mean(axis=0)
+            scale = np.concatenate([probe_scale, np.ones(2)])
+        input_scale = tuple(float(s) for s in scale)
+
     cfg = mk_cfg(
         gen=gen_cfg,
+        input_scale=input_scale,
         critic_layers=tuple(args.disc_layers),
         batch_size=args.batch_size,
         gp_lambda=args.gp_lambda,
@@ -61,13 +81,6 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         rate_cost=args.rate_cost,
         seed=args.seed,
     )
-
-    # Real data: for the conditional model the dataset must be
-    # condition-tagged; we build it from the battery layout.
-    data_gen_cfg = gen_cfg
-    if conditional:
-        data_gen_cfg = dataclasses.replace(gen_cfg, track_offset_identity=True)
-    dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
     if conditional:
         import jax.numpy as jnp

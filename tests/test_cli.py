@@ -1,0 +1,124 @@
+"""CLI layer tests: parser schemas, config construction, and a tiny
+end-to-end run per entry point (CPU, tiny shapes).
+
+Reference test analog: the per-entry smoke tier (SURVEY.md §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tcgan_tpu.run import (
+    bptt_cwgan,
+    bptt_wgan,
+    common,
+    eval as eval_cli,
+    forward,
+    gan,
+    moments,
+)
+
+TINY_BASE = [
+    "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+    "--J", "0.02", "0.016", "0.02", "0.012",
+    "--D", "0.05", "0.04", "0.05", "0.04",
+    "--S", "0.25", "0.1", "0.25", "0.1",
+    "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+]
+TINY = TINY_BASE + ["--batch-size", "3"]
+TINY_GAN = TINY + [
+    "--n-steps", "2", "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
+    "--truth-samples", "8", "--disc-layers", "8",
+]
+
+
+def test_parsers_build_configs():
+    for mod in (forward, gan, bptt_wgan, bptt_cwgan, moments, eval_cli):
+        p = mod.make_parser()
+        assert p is not None
+    args = gan.make_parser().parse_args(
+        TINY_GAN + ["--datastore", "/tmp/x"])
+    cfg = common.generator_config_from_args(args, solver="ift")
+    assert cfg.ssn.N == 6
+    assert cfg.n_stim == 2
+    scfg = common.ssn_config_from_args(args)
+    assert scfg.max_iter == 1500 and scfg.io_type == "asym_power"
+
+
+def test_forward_cli_end_to_end(tmp_path):
+    rc = forward.main(TINY + ["--datastore", str(tmp_path / "fwd")])
+    assert rc == 0
+    data = np.load(tmp_path / "fwd" / "tuning_curves.npz")
+    assert data["tuning_curves"].shape[0] == 3
+    assert data["converged"].all()
+    info = json.loads((tmp_path / "fwd" / "info.json").read_text())
+    assert info["status"] == "finished"
+
+
+def test_gan_cli_end_to_end(tmp_path):
+    rc = gan.main(TINY_GAN + ["--datastore", str(tmp_path / "g")])
+    assert rc == 0
+    lines = (tmp_path / "g" / "learning.csv").read_text().strip().split("\n")
+    assert len(lines) == 3
+    # generator.csv starts from the passed --J
+    gen_first = (tmp_path / "g" / "generator.csv").read_text().split("\n")[1]
+    assert abs(float(gen_first.split(",")[1]) - 0.02) < 1e-3
+
+
+def test_gan_cli_normalize_input_and_resume(tmp_path):
+    d = str(tmp_path / "gn")
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--normalize-input",
+                              "--checkpoint-every", "2"])
+    assert rc == 0
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--normalize-input",
+                              "--resume"])
+    assert rc == 0
+    steps = [l.split(",")[0] for l in
+             open(f"{d}/learning.csv").read().strip().split("\n")[1:]]
+    assert steps == ["0", "1", "2", "3"]
+
+
+def test_moments_cli_end_to_end(tmp_path):
+    rc = moments.main(TINY + [
+        "--datastore", str(tmp_path / "m"), "--n-steps", "2",
+        "--truth-samples", "8", "--batch-size", "4"])
+    assert rc == 0
+    lines = (tmp_path / "m" / "learning.csv").read_text().strip().split("\n")
+    assert lines[0].startswith("step,loss,mean_err")
+    assert len(lines) == 3
+
+
+def test_cwgan_cli_end_to_end(tmp_path):
+    rc = bptt_cwgan.main(TINY_GAN + ["--datastore", str(tmp_path / "c"),
+                                     "--solver", "ift"])
+    assert rc == 0
+    assert (tmp_path / "c" / "learning.csv").exists()
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    import contextlib
+    import io
+
+    d = str(tmp_path / "g2")
+    gan.main(TINY_GAN + ["--datastore", d])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = eval_cli.main(TINY_BASE + [
+            "--run", d, "--eval-samples", "8", "--truth-samples", "8",
+            "--true-J", "0.02", "0.016", "0.02", "0.012",
+            "--true-D", "0.05", "0.04", "0.05", "0.04",
+            "--true-S", "0.25", "0.1", "0.25", "0.1"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().split("\n")[-1])
+    assert np.isfinite(out["tc_w1"])
+    assert "param_recovery_error" in out
+
+
+def test_learning_curves_analyzer(tmp_path):
+    from tcgan_tpu.analysis import learning_curves
+
+    d = str(tmp_path / "g3")
+    gan.main(TINY_GAN + ["--datastore", d])
+    rc = learning_curves.main([d, "--true-J", "0.02", "0.016", "0.02", "0.012"])
+    assert rc == 0
+    assert (tmp_path / "g3" / "learning_curves.png").stat().st_size > 10000

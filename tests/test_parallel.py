@@ -1,0 +1,99 @@
+"""Mesh-sharding tests on the 8-device virtual CPU mesh (SURVEY.md §2
+parallelism census: sample-parallel DP + optional tensor-parallel model
+axis)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu import parallel as par
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models import moments as mm_lib
+from tcgan_tpu.models import wgan as wgan_lib
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.ops.ssn import SSNConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+TINY = GeneratorConfig(
+    ssn=SSNConfig(N=8, k=0.005, n=2.0, dt=0.001, max_iter=1000, atol=1e-5),
+    bandwidths=(0.25, 1.0), contrasts=(5.0,), sample_sites=1, solver="ift",
+)
+
+
+def test_make_mesh_shapes():
+    m = par.make_mesh()
+    assert m.devices.shape == (8, 1)
+    m2 = par.make_mesh(n_batch=4, n_model=2)
+    assert m2.devices.shape == (4, 2)
+    assert m2.axis_names == (par.BATCH_AXIS, par.MODEL_AXIS)
+
+
+def test_sharded_wgan_step_matches_single_device():
+    """The 8-way sharded train step must produce the same result as the
+    unsharded jit (same program, different partitioning)."""
+    mesh = par.make_mesh(n_batch=8, n_model=1)
+    gen_sharded = dataclasses.replace(TINY, mesh_axis=par.BATCH_AXIS)
+    cfg_s = wgan_lib.WGANConfig(gen=gen_sharded, critic_layers=(16,),
+                                batch_size=8, n_critic=2, n_critic0=2)
+    cfg_1 = wgan_lib.WGANConfig(gen=TINY, critic_layers=(16,),
+                                batch_size=8, n_critic=2, n_critic0=2)
+    state = wgan_lib.init_state(cfg_1)
+    key = jax.random.PRNGKey(3)
+    real = 0.1 * jax.random.normal(
+        key, (2, cfg_1.critic_batch, TINY.tc_dim)) + 1.0
+
+    ref_state, ref_m = wgan_lib.train_step(cfg_1, 2, state, real, key)
+
+    step = par.make_sharded_gan_step(wgan_lib.train_step_impl, mesh)
+    with jax.set_mesh(mesh):
+        sh_state, sh_m = step(cfg_s, 2, state, real, key)
+        jax.block_until_ready(sh_m)
+
+    np.testing.assert_allclose(float(sh_m.d_loss), float(ref_m.d_loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sh_m.g_loss), float(ref_m.g_loss),
+                               rtol=1e-4)
+    for k in ("J", "D", "S"):
+        np.testing.assert_allclose(np.asarray(sh_state.gen_params[k]),
+                                   np.asarray(ref_state.gen_params[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_with_model_axis_runs():
+    """DP x TP mesh (4 x 2): the 2N axis of W shards over the model axis."""
+    mesh = par.make_mesh(n_batch=4, n_model=2)
+    gen_tp = dataclasses.replace(TINY, mesh_axis=par.BATCH_AXIS,
+                                 model_axis=par.MODEL_AXIS)
+    cfg = wgan_lib.WGANConfig(gen=gen_tp, critic_layers=(16,),
+                              batch_size=8, n_critic=2, n_critic0=2)
+    state = wgan_lib.init_state(cfg)
+    key = jax.random.PRNGKey(4)
+    real = 0.1 * jax.random.normal(
+        key, (2, cfg.critic_batch, gen_tp.tc_dim)) + 1.0
+    step = par.make_sharded_gan_step(wgan_lib.train_step_impl, mesh)
+    with jax.set_mesh(mesh):
+        new_state, m = step(cfg, 2, state, real, key)
+        jax.block_until_ready(m)
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+    assert int(new_state.step) == 1
+
+
+def test_sharded_mm_step_runs():
+    mesh = par.make_mesh(n_batch=8, n_model=1)
+    gen_s = dataclasses.replace(TINY, mesh_axis=par.BATCH_AXIS)
+    cfg = mm_lib.MomentMatchingConfig(gen=gen_s, batch_size=16, lr=1e-2)
+    state = mm_lib.init_state(cfg)
+    dm = jnp.ones((gen_s.tc_dim,))
+    ds = jnp.eye(gen_s.tc_dim)
+    step = par.make_sharded_mm_step(mm_lib.train_step_impl, mesh)
+    with jax.set_mesh(mesh):
+        new_state, m = step(cfg, state, dm, ds, jax.random.PRNGKey(0))
+        jax.block_until_ready(m)
+    assert np.isfinite(float(m.loss))
+    assert int(new_state.step) == 1
