@@ -40,6 +40,7 @@ class MomentMatchingConfig:
     cov_weight: float = 1.0
     moment_eps: float = 1e-2
     rate_cost: float = 0.01
+    clip_grad: float = 0.0  # global-norm gradient clip (0 = off)
     seed: int = 0
 
 
@@ -75,7 +76,10 @@ def moment_loss(cfg: MomentMatchingConfig, gen_tc, data_mean, data_second):
 
 
 def make_optimizer(cfg: MomentMatchingConfig):
-    return optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+    adam = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+    if cfg.clip_grad > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+    return adam
 
 
 def init_state(cfg: MomentMatchingConfig,

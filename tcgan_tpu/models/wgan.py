@@ -50,6 +50,7 @@ class WGANConfig:
     beta1: float = 0.5
     beta2: float = 0.9
     rate_cost: float = 0.01  # generator penalty on rates above soft bound
+    clip_grad: float = 0.0  # global-norm gradient clip (0 = off)
     seed: int = 0
     # per-feature critic input scale (1/mean TC of the dataset when the
     # --normalize-input knob is on); None = raw inputs
@@ -92,9 +93,13 @@ class StepMetrics(NamedTuple):
 
 
 def make_optimizers(cfg: WGANConfig):
-    gen_tx = optax.adam(cfg.lr_gen, b1=cfg.beta1, b2=cfg.beta2)
-    critic_tx = optax.adam(cfg.lr_critic, b1=cfg.beta1, b2=cfg.beta2)
-    return gen_tx, critic_tx
+    def tx(lr):
+        adam = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+        if cfg.clip_grad > 0:
+            return optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+        return adam
+
+    return tx(cfg.lr_gen), tx(cfg.lr_critic)
 
 
 def init_state(cfg: WGANConfig, key: jax.Array | None = None,

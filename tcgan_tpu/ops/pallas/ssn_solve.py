@@ -315,6 +315,11 @@ def solve_fixed_point_pallas(
     S = I_ext.shape[0]
     n_pad = _round_up(n2, LANE)
     s_pad = _round_up(S, 8)
+    # VMEM budget: the tile's weights (block_b * n_pad^2 f32) must fit
+    # on-chip with room for state/stimulus; shrink the tile for large N.
+    vmem_budget = 10 * 1024 * 1024
+    max_bb = max(1, vmem_budget // (n_pad * n_pad * 4))
+    block_b = min(block_b, max_bb)
     b_pad = _round_up(B, block_b)
     n_tiles = b_pad // block_b
 

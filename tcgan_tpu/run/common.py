@@ -105,6 +105,8 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--rate-cost", type=float, default=0.01)
     g.add_argument("--normalize-input", action="store_true",
                    help="scale critic inputs by 1/mean dataset tuning curve")
+    g.add_argument("--clip-grad", type=float, default=0.0,
+                   help="global-norm gradient clip for both nets (0 = off)")
 
 
 def add_run_flags(p: argparse.ArgumentParser):

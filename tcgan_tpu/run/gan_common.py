@@ -79,6 +79,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         beta1=args.adam_beta1,
         beta2=args.adam_beta2,
         rate_cost=args.rate_cost,
+        clip_grad=args.clip_grad,
         seed=args.seed,
     )
 

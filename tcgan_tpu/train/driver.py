@@ -96,7 +96,9 @@ class GANDriver:
                     on_step(step, self.state, metrics)
                 if (step + 1) % self.cfg.checkpoint_every == 0:
                     self.checkpoints.save(step + 1, self.state)
+                    self._export_params(step + 1)
             self.checkpoints.save(start + n_steps, self.state)
+            self._export_params(start + n_steps)
             self.store.finalize("finished")
         except PervasiveDivergenceError as e:
             self.store.finalize("known_error", {"error": str(e)})
@@ -107,6 +109,19 @@ class GANDriver:
         finally:
             self.recorders.close()
         return self.state
+
+    def _export_params(self, step: int):
+        """Plain .npz snapshot of critic params + generator values — the
+        reference's lasagne `.npz` critic dumps (SURVEY.md §5.4), readable
+        without orbax/jax."""
+        values = gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)
+        np.savez(
+            self.store.file("disc_params.npz"),
+            step=np.asarray(step),
+            J=np.asarray(values[0]), D=np.asarray(values[1]),
+            S=np.asarray(values[2]),
+            **{k: np.asarray(v) for k, v in self.state.critic_params.items()},
+        )
 
     # -- internals ---------------------------------------------------------
 

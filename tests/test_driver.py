@@ -132,3 +132,11 @@ def test_fake_truth_unstable_params_raise(tmp_path):
                             ((0.01, 0.01), (0.01, 0.01)),
                             ((0.3, 0.3), (0.3, 0.3)),
                             num_samples=8, batch=4)
+
+
+def test_param_export_npz(tmp_path):
+    driver, store = _mk_driver(tmp_path, _stub_step())
+    driver.run()
+    data = np.load(store.path / "disc_params.npz")
+    assert "J" in data and "w0" in data and int(data["step"]) == 5
+    assert data["J"].shape == (2, 2)
