@@ -315,9 +315,12 @@ def solve_fixed_point_pallas(
     S = I_ext.shape[0]
     n_pad = _round_up(n2, LANE)
     s_pad = _round_up(S, 8)
-    # VMEM budget: the tile's weights (block_b * n_pad^2 f32) must fit
-    # on-chip with room for state/stimulus; shrink the tile for large N.
-    vmem_budget = 10 * 1024 * 1024
+    # VMEM guard: the W tile is double-buffered by the Pallas pipeline and
+    # the kernel stack grows with n_pad (unrolled substep buffers), all
+    # within the 16 MB scoped VMEM limit. Budgets verified on v5e:
+    # n_pad=128 runs with a 4 MB tile (block_b=16); n_pad=512 OOMs beyond a
+    # 2 MB tile (block_b=2 works, 4 does not).
+    vmem_budget = (2 if n_pad > 256 else 5) * 1024 * 1024
     max_bb = max(1, vmem_budget // (n_pad * n_pad * 4))
     block_b = min(block_b, max_bb)
     b_pad = _round_up(B, block_b)

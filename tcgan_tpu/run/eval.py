@@ -27,6 +27,36 @@ import numpy as np
 from tcgan_tpu.run import common
 
 
+def _plot_tc_comparison(gen_tc: np.ndarray, data_tc: np.ndarray, out_path):
+    """Mean tuning curve +/- std, generated vs data (the reference
+    analyzers' TC-distribution comparison plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (a0, a1) = plt.subplots(1, 2, figsize=(11, 4))
+    xs = np.arange(gen_tc.shape[1])
+    for tc, label, color in ((data_tc, "data", "C0"), (gen_tc, "generated", "C1")):
+        m, s = tc.mean(0), tc.std(0)
+        a0.plot(xs, m, color=color, label=label)
+        a0.fill_between(xs, m - s, m + s, color=color, alpha=0.25)
+    a0.set_xlabel("tuning-curve feature (condition index)")
+    a0.set_ylabel("rate")
+    a0.set_title("mean tuning curve ± std")
+    a0.legend()
+    # per-feature marginals at the most informative feature
+    fidx = int(np.argmax(data_tc.std(0)))
+    a1.hist(data_tc[:, fidx], bins=30, alpha=0.6, label="data", density=True)
+    a1.hist(gen_tc[:, fidx], bins=30, alpha=0.6, label="generated",
+            density=True)
+    a1.set_title(f"marginal at feature {fidx}")
+    a1.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -98,6 +128,7 @@ def main(argv=None):
         store.write_info({"entry": "eval", **vars(args)})
         np.savez(store.file("eval_tuning_curves.npz"), gen_tc=gen_tc,
                  data_tc=data_tc)
+        _plot_tc_comparison(gen_tc, data_tc, store.file("tc_comparison.png"))
         store.finalize("finished", {"result": result})
     print(json.dumps(result))
     return 0
