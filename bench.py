@@ -25,8 +25,18 @@ import numpy as np
 
 
 def main() -> int:
+    import pathlib
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: TPU compiles here go through a remote
+    # helper and can take minutes cold; the cache makes repeat runs fast.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tcgan_tpu.ops import fixed_point, native, stimulus, weights
     from tcgan_tpu.ops.pallas import solve_fixed_point_pallas

@@ -222,10 +222,10 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         div: jnp.ndarray  # (R, 1) f32 0/1
         iters: jnp.ndarray  # (R, 1) f32
 
-    def make_loop(step_fn, atol):
+    def make_loop(step_fn, atol, max_it):
         def cond(s: S):
             n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
-            return (s.it < cfg.max_iter) & (n_resolved < R - 0.5)
+            return (s.it < max_it) & (n_resolved < R - 0.5)
 
         def body(s: S):
             active = 1.0 - s.conv - s.div  # (R, 1)
@@ -261,10 +261,14 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         iters=jnp.full((R, 1), float(cfg.max_iter), jnp.float32),
     )
     if two_phase:
-        # Phase 1: fast-pass matmuls down to a coarse residual (keep real
-        # divergence detection; "converged" here only means "left phase 1").
+        # Phase 1: fast-pass matmuls down to a coarse residual, HARD-CAPPED
+        # at half the iteration budget — the bf16-pass residual floor can
+        # sit above any fixed coarse threshold for strongly-coupled
+        # circuits, and without the cap phase 1 would eat the whole budget
+        # and nothing would ever meet the real atol. Divergence detection
+        # stays live; "converged" here only means "left phase 1".
         coarse = max(cfg.atol * 100.0, 1e-2)
-        cond1, body1 = make_loop(substep_fast, coarse)
+        cond1, body1 = make_loop(substep_fast, coarse, cfg.max_iter // 2)
         mid = jax.lax.while_loop(cond1, body1, init)
         # Phase 2: HIGHEST-precision tail from the phase-1 state; reopen
         # the coarse-converged rows (keep genuinely diverged ones closed).
@@ -273,10 +277,10 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                   # keep phase-1 iteration counts for diverged rows
                   iters=mid.div * mid.iters
                   + (1.0 - mid.div) * float(cfg.max_iter))
-        cond2, body2 = make_loop(substep, cfg.atol)
+        cond2, body2 = make_loop(substep, cfg.atol, cfg.max_iter)
         out = jax.lax.while_loop(cond2, body2, init2)
     else:
-        cond1, body1 = make_loop(substep, cfg.atol)
+        cond1, body1 = make_loop(substep, cfg.atol, cfg.max_iter)
         out = jax.lax.while_loop(cond1, body1, init)
     for b in range(block_b):
         r_ref[b] = out.r[b * s_pad:(b + 1) * s_pad]

@@ -118,10 +118,15 @@ def add_run_flags(p: argparse.ArgumentParser):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--n-steps", type=int, default=1000)
     g.add_argument("--checkpoint-every", type=int, default=100)
+    g.add_argument("--tc-mean-every", type=int, default=50,
+                   help="record the mean generated tuning curve every k "
+                        "steps (0 = off)")
     g.add_argument("--divergence-abort", type=float, default=0.5)
     g.add_argument("--divergence-patience", type=int, default=20)
     g.add_argument("--parallel", choices=("none", "mesh"), default="none",
                    help="'mesh': shard the sample batch over all devices")
+    g.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler device trace of the run here")
     g.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
                    default="float32")
 

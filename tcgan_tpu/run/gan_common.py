@@ -109,6 +109,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     driver_cfg = DriverConfig(
         n_steps=args.n_steps,
         checkpoint_every=args.checkpoint_every,
+        tc_mean_every=args.tc_mean_every,
         divergence_abort=args.divergence_abort,
         divergence_patience=args.divergence_patience,
         seed=args.seed,
@@ -125,5 +126,8 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         state = ckpt.restore(state)
     driver = GANDriver(cfg, driver_cfg, store, step_fn, state, sampler,
                        checkpoints=ckpt)
-    driver.run()
+    from tcgan_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(getattr(args, "profile_dir", None)):
+        driver.run()
     return 0

@@ -93,7 +93,10 @@ def main(argv=None):
         cfg, driver_cfg, store, step_fn, state, dataset.moments(),
         checkpoints=ckpt,
     )
-    driver.run()
+    from tcgan_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(getattr(args, "profile_dir", None)):
+        driver.run()
     return 0
 
 

@@ -69,6 +69,7 @@ class GANDriver:
         self.recorders = RecorderSet(store, critic_param_names=critic_names)
         self.watch = StopWatch()
         self._div_streak = 0
+        self._tc_mean_fn = None
 
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
@@ -138,12 +139,16 @@ class GANDriver:
             step, critic_lib.param_stats(self.state.critic_params)
         )
         if self.cfg.tc_mean_every and step % self.cfg.tc_mean_every == 0:
-            key = jax.random.PRNGKey(step)
-            out = gen_lib.sample_tuning_curves(
-                self.model_cfg.gen, self.state.gen_params, key,
-                self.model_cfg.batch_size,
-            )
-            self.recorders.record_tc_mean(step, np.asarray(out.tc).mean(axis=0))
+            if self._tc_mean_fn is None:
+                gen_cfg = self.model_cfg.gen
+                batch = self.model_cfg.batch_size
+                self._tc_mean_fn = jax.jit(
+                    lambda p, k: gen_lib.sample_tuning_curves(
+                        gen_cfg, p, k, batch).tc.mean(axis=0)
+                )
+            tc_mean = self._tc_mean_fn(self.state.gen_params,
+                                       jax.random.PRNGKey(step))
+            self.recorders.record_tc_mean(step, np.asarray(tc_mean))
 
     def _check_divergence(self, step: int, metrics):
         frac = float(metrics.frac_diverged)
