@@ -70,7 +70,7 @@ def solve_dynamics(
     else:
         r0 = jnp.broadcast_to(r0, lead + (S, n2)).astype(dtype)
     I_ext = I_ext.astype(dtype)
-    dt_over_tau = cfg.dt / cfg.tau_vector(dtype=dtype)
+    dt_over_tau = cfg.step_gain(dtype=dtype)
 
     r_ceiling = clip_factor * cfg.rate_stop_at
 

@@ -104,7 +104,7 @@ def solve_fixed_point(
         r0 = jnp.broadcast_to(r0, lead + (S, n2)).astype(dtype)
     I_ext = I_ext.astype(dtype)
 
-    dt_over_tau = (cfg.dt / cfg.tau_vector(dtype=dtype))  # (2N,)
+    dt_over_tau = cfg.step_gain(dtype=dtype)  # (2N,)
 
     def substeps(r):
         def one(i, r):

@@ -99,7 +99,7 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
     elif grad_method == "iterative":
         # Damped Richardson on the adjoint: lam <- lam + a*(-lam + J^T lam + g)
         # with J^T lam = W^T (phi ⊙ lam); a = dt/tau (same damping as forward).
-        dt_over_tau = cfg.dt / cfg.tau_vector(dtype=W.dtype)
+        dt_over_tau = cfg.step_gain(dtype=W.dtype)
 
         def jt(lam):
             return jnp.einsum("...ji,...sj->...si", W, phi * lam,

@@ -96,6 +96,11 @@ def solve_fixed_point_native(
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native solver unavailable: {_load_error}")
+    if cfg.stepper != "euler":
+        raise NotImplementedError(
+            "the native CPU baseline implements the reference's forward "
+            "Euler only; use stepper='euler' for cross-checks against it"
+        )
     W = np.ascontiguousarray(W, dtype=np.float64)
     I_ext = np.ascontiguousarray(I_ext, dtype=np.float64)
     if W.ndim == 2:

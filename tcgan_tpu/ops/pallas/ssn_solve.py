@@ -336,7 +336,7 @@ def solve_fixed_point_pallas(
     Ip = Ip.at[:S, :n2].set(I_ext.astype(jnp.float32))
     dt_tau = jnp.zeros((n_pad,), jnp.float32)
     dt_tau = dt_tau.at[:n2].set(
-        (cfg.dt / cfg.tau_vector(dtype=jnp.float32)).astype(jnp.float32)
+        cfg.step_gain(dtype=jnp.float32).astype(jnp.float32)
     )
 
     grid = (n_tiles,)

@@ -75,6 +75,12 @@ class SSNConfig:
     backend: str = "xla"
     pallas_block_b: int = 8  # circuits per kernel tile
     check_every: int = 1  # convergence-check stride (both backends)
+    # Time stepper: "euler" (reference-faithful forward Euler,
+    # r += (dt/tau)(-r + f(u))) or "expo" (exponential Euler,
+    # r += (1-exp(-dt/tau))(-r + f(u)) — integrates the stiff leak term
+    # exactly, so dt is no longer capped by tau_I; same fixed point, same
+    # convergence criterion, typically ~4x fewer iterations at dt ~ tau_I).
+    stepper: str = "euler"
 
     def __post_init__(self):
         if self.io_type not in io_funs.IO_TYPES:
@@ -102,6 +108,20 @@ class SSNConfig:
                 jnp.full((self.N,), self.tau_I, dtype=dtype),
             ]
         )
+
+    def step_gain(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(2N,) per-neuron update gain alpha: r += alpha * (-r + f(u)).
+
+        "euler": alpha = dt/tau (the reference's integrator).
+        "expo":  alpha = 1 - exp(-dt/tau) (exponential Euler; exact for the
+        leak, unconditionally stable in the stiff direction).
+        """
+        ratio = self.dt / self.tau_vector(dtype=dtype)
+        if self.stepper == "euler":
+            return ratio
+        if self.stepper == "expo":
+            return 1.0 - jnp.exp(-ratio)
+        raise ValueError(f"unknown stepper {self.stepper!r}")
 
     def site_pos(self, dtype=jnp.float32) -> jnp.ndarray:
         from tcgan_tpu.ops.weights import site_positions
@@ -132,7 +152,7 @@ def euler_step(cfg: SSNConfig, W, I_ext, r, dt_over_tau=None):
     recomputing f.
     """
     if dt_over_tau is None:
-        dt_over_tau = cfg.dt / cfg.tau_vector(dtype=r.dtype)
+        dt_over_tau = cfg.step_gain(dtype=r.dtype)
     f = cfg.io_fun()
     u = recurrent_drive(W, r, I_ext)
     delta = -r + f(u)

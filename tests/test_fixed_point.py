@@ -121,3 +121,24 @@ def test_bptt_gradient_flows():
     g = jax.grad(loss)(W)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_expo_stepper_same_fixed_point_bigger_dt():
+    """Exponential Euler reaches the same fixed point, and stays stable at a
+    dt where plain Euler oscillates/diverges (dt = 2*tau_I)."""
+    import dataclasses
+
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg)
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    assert bool(ref.converged.all())
+
+    big_dt = 2.0 * cfg.tau_I
+    cfg_expo = dataclasses.replace(cfg, stepper="expo", dt=big_dt,
+                                   max_iter=4000)
+    res = fixed_point.solve_fixed_point(cfg_expo, W, I)
+    assert bool(res.converged.all()), "expo must be stable at dt = 2 tau_I"
+    np.testing.assert_allclose(np.asarray(res.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
+    # and it should be much cheaper: fewer iterations than euler at small dt
+    assert int(res.iters.max()) < int(ref.iters.max()) / 2
