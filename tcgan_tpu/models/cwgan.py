@@ -168,6 +168,8 @@ def train_step_impl(
         d_loss=d_losses[-1], g_loss=g_loss, wasserstein=ws[-1], gp=gps[-1],
         rate_penalty=pen, frac_converged=fconv, frac_diverged=fdiv,
         mean_iters=miters, d_accuracy=accs[-1],
+        d_loss_iters=d_losses, wasserstein_iters=ws, gp_iters=gps,
+        acc_iters=accs,
     )
     return new_state, metrics
 

@@ -90,6 +90,13 @@ class StepMetrics(NamedTuple):
     frac_diverged: jnp.ndarray
     mean_iters: jnp.ndarray
     d_accuracy: jnp.ndarray  # fraction of pairs ranked correctly
+    # per-critic-iteration traces, shape (n_critic,) — the reference's
+    # DiscLearningRecorder stream (SURVEY.md §2 "Recorders"); None when a
+    # producer does not track them
+    d_loss_iters: jnp.ndarray | None = None
+    wasserstein_iters: jnp.ndarray | None = None
+    gp_iters: jnp.ndarray | None = None
+    acc_iters: jnp.ndarray | None = None
 
 
 def make_optimizers(cfg: WGANConfig):
@@ -215,6 +222,10 @@ def train_step_impl(
         frac_diverged=fdiv,
         mean_iters=miters,
         d_accuracy=accs[-1],
+        d_loss_iters=d_losses,
+        wasserstein_iters=ws,
+        gp_iters=gps,
+        acc_iters=accs,
     )
     return new_state, metrics
 

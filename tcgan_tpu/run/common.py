@@ -122,6 +122,9 @@ def add_run_flags(p: argparse.ArgumentParser):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--n-steps", type=int, default=1000)
     g.add_argument("--checkpoint-every", type=int, default=100)
+    g.add_argument("--timing-every", type=int, default=0,
+                   help="measure SSsolve_time/gradient_time columns every "
+                        "k steps (0 = off)")
     g.add_argument("--tc-mean-every", type=int, default=50,
                    help="record the mean generated tuning curve every k "
                         "steps (0 = off)")

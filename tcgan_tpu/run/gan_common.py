@@ -110,6 +110,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         n_steps=args.n_steps,
         checkpoint_every=args.checkpoint_every,
         tc_mean_every=args.tc_mean_every,
+        timing_every=args.timing_every,
         divergence_abort=args.divergence_abort,
         divergence_patience=args.divergence_patience,
         seed=args.seed,

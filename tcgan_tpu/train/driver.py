@@ -37,6 +37,7 @@ class DriverConfig:
     n_critic0_steps: int = 1  # how many initial steps use n_critic0
     checkpoint_every: int = 100
     tc_mean_every: int = 50
+    timing_every: int = 0  # measure SSsolve_time/gradient_time every k steps
     divergence_abort: float = 0.5  # abort if frac_diverged > this ...
     divergence_patience: int = 20  # ... for this many consecutive steps
     log_every: int = 10
@@ -127,12 +128,20 @@ class GANDriver:
     # -- internals ---------------------------------------------------------
 
     def _record(self, step: int, metrics):
-        row = {k: v for k, v in metrics._asdict().items()}
+        row = {k: v for k, v in metrics._asdict().items()
+               if not k.endswith("_iters") or k == "mean_iters"}
         row["step"] = step
         row["train_time"] = self.watch.last("train")
-        row["SSsolve_time"] = ""
-        row["gradient_time"] = ""
+        row["SSsolve_time"] = self.watch.last("SSsolve")
+        row["gradient_time"] = self.watch.last("gradient")
         self.recorders.record_learning(row)
+        if getattr(metrics, "d_loss_iters", None) is not None:
+            self.recorders.record_disc_learning(
+                step, metrics.d_loss_iters, metrics.wasserstein_iters,
+                metrics.gp_iters, metrics.acc_iters,
+            )
+        if self.cfg.timing_every and step % self.cfg.timing_every == 0:
+            self._measure_component_times()
         values = gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)
         self.recorders.record_generator(step, values)
         self.recorders.record_disc_stats(
@@ -149,6 +158,31 @@ class GANDriver:
             tc_mean = self._tc_mean_fn(self.state.gen_params,
                                        jax.random.PRNGKey(step))
             self.recorders.record_tc_mean(step, np.asarray(tc_mean))
+
+    def _measure_component_times(self):
+        """Instrument the reference's SSsolve_time / gradient_time columns
+        (SURVEY.md §5.1): wall-clock of a forward batch solve and of a full
+        generator value_and_grad, measured out-of-band of the train step."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_solve_fn"):
+            gen_cfg = self.model_cfg.gen
+            batch = self.model_cfg.batch_size
+            self._solve_fn = jax.jit(
+                lambda p, k: gen_lib.sample_tuning_curves(gen_cfg, p, k,
+                                                          batch).rates)
+            self._grad_fn = jax.jit(jax.grad(
+                lambda p, k: jnp.mean(
+                    gen_lib.sample_tuning_curves(gen_cfg, p, k, batch).tc)))
+            # warm both compiles outside the timed region
+            key = jax.random.PRNGKey(0)
+            jax.block_until_ready(self._solve_fn(self.state.gen_params, key))
+            jax.block_until_ready(self._grad_fn(self.state.gen_params, key))
+        key = jax.random.PRNGKey(int(self.state.step))
+        with self.watch.time("SSsolve"):
+            jax.block_until_ready(self._solve_fn(self.state.gen_params, key))
+        with self.watch.time("gradient"):
+            jax.block_until_ready(self._grad_fn(self.state.gen_params, key))
 
     def _check_divergence(self, step: int, metrics):
         frac = float(metrics.frac_diverged)

@@ -106,6 +106,11 @@ class RecorderSet:
         disc_cols = ["step"] + [f"{k}.{s}" for k in critic_param_names
                                 for s in ("nnorm", "absmax")]
         self.disc_stats = CSVRecorder(store.file("disc_param_stats.csv"), disc_cols)
+        # per-critic-iteration stream (the reference's DiscLearningRecorder)
+        self.disc_learning = CSVRecorder(
+            store.file("disc_learning.csv"),
+            ["step", "critic_iter", "d_loss", "wasserstein", "gp", "accuracy"],
+        )
         self.tc_mean = JSONLRecorder(store.file("tc_mean.jsonl"))
         self.jsonl = JSONLRecorder(store.file("learning.jsonl")) if jsonl else None
 
@@ -124,6 +129,20 @@ class RecorderSet:
         row.update({k: _scalar(v) for k, v in stats.items()})
         self.disc_stats.record(row)
 
+    def record_disc_learning(self, step: int, d_loss, wasserstein, gp, acc):
+        """One row per critic iteration of this step."""
+        d_loss = np.asarray(d_loss)
+        wasserstein = np.asarray(wasserstein)
+        gp = np.asarray(gp)
+        acc = np.asarray(acc)
+        for i in range(d_loss.shape[0]):
+            self.disc_learning.record({
+                "step": step, "critic_iter": i,
+                "d_loss": float(d_loss[i]),
+                "wasserstein": float(wasserstein[i]),
+                "gp": float(gp[i]), "accuracy": float(acc[i]),
+            })
+
     def record_tc_mean(self, step: int, tc_mean) -> None:
         self.tc_mean.record({"step": step, "tc_mean": np.asarray(tc_mean).tolist()})
 
@@ -131,6 +150,7 @@ class RecorderSet:
         self.learning.close()
         self.generator.close()
         self.disc_stats.close()
+        self.disc_learning.close()
         self.tc_mean.close()
         if self.jsonl:
             self.jsonl.close()

@@ -140,3 +140,29 @@ def test_param_export_npz(tmp_path):
     data = np.load(store.path / "disc_params.npz")
     assert "J" in data and "w0" in data and int(data["step"]) == 5
     assert data["J"].shape == (2, 2)
+
+
+def test_disc_learning_stream_and_timing(tmp_path):
+    """Per-critic-iteration rows + SSsolve/gradient timing columns."""
+
+    def step_with_iters(cfg, n_critic, state, real_stack, key):
+        z = jnp.zeros(())
+        v = jnp.arange(float(n_critic))
+        m = StepMetrics(z, z, z, z, z, z, z, z, z,
+                        d_loss_iters=v, wasserstein_iters=v * 2,
+                        gp_iters=v * 3, acc_iters=v * 4)
+        return state._replace(step=state.step + 1), m
+
+    driver, store = _mk_driver(tmp_path, step_with_iters, timing_every=2)
+    driver.run()
+    lines = (store.path / "disc_learning.csv").read_text().strip().split("\n")
+    # 5 steps: step0 uses n_critic0=3 iters, steps 1-4 use 2 -> 3 + 4*2 rows
+    assert len(lines) == 1 + 3 + 4 * 2
+    assert lines[1].startswith("0,0,0.0")
+    # timing columns populated on measured steps
+    import csv as _csv
+
+    with open(store.path / "learning.csv") as fh:
+        rows = list(_csv.DictReader(fh))
+    assert float(rows[2]["SSsolve_time"]) > 0
+    assert float(rows[2]["gradient_time"]) > 0
