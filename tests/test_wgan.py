@@ -160,3 +160,20 @@ def test_clip_grad_changes_update():
     d1 = float(jnp.abs(s1.gen_params["J"] - state.gen_params["J"]).max())
     d2 = float(jnp.abs(s2.gen_params["J"] - state.gen_params["J"]).max())
     assert d2 < d1  # tiny clip norm shrinks the step
+
+
+def test_cwgan_multicontrast_with_inhibitory_probes():
+    """Condition grid spans contrasts x bandwidths; probes include I cells."""
+    gen = dataclasses.replace(TINY_GEN, contrasts=(2.0, 5.0), sample_sites=2,
+                              include_inhibitory_neurons=True)
+    cfg = cwgan_lib.CWGANConfig(gen=gen, critic_layers=(8,), batch_size=2,
+                                n_critic=2, n_critic0=2)
+    assert gen.n_stim == 4 and gen.n_probe == 4
+    tagged, out = cwgan_lib.sample_conditional(
+        cfg, gen_lib.init_params(gen), jax.random.PRNGKey(0), 2)
+    assert tagged.shape == (2 * 4, 4 + 2)
+    # condition tags match the battery ordering (bandwidth-major per contrast)
+    feats = np.asarray(gen.condition_features())
+    np.testing.assert_allclose(np.asarray(tagged[:4, -2:]), feats)
+    # critic input dim matches config
+    assert cfg.critic_cfg.in_dim == 6
