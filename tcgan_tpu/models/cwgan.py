@@ -20,8 +20,7 @@ The training schedule, losses, and optimizers are shared with
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ import optax
 from tcgan_tpu.models import critic as critic_lib
 from tcgan_tpu.models import generator as gen_lib
 from tcgan_tpu.models.critic import CriticConfig
-from tcgan_tpu.models.generator import GeneratorConfig
 from tcgan_tpu.models.wgan import StepMetrics, TrainState, WGANConfig
 
 

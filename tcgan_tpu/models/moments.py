@@ -18,7 +18,6 @@ summed over mean-moments and (optionally) second-moment entries.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -22,7 +22,6 @@ TPU-first deviations from the reference's structure (behavior preserved):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

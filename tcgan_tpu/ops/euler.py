@@ -17,9 +17,6 @@ Reference parity: the ``theano.scan`` Euler unroll in
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -27,7 +27,6 @@ this is what puts the inner loop on the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax.numpy as jnp
 

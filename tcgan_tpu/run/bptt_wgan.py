@@ -11,7 +11,6 @@ Usage:
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 
 from tcgan_tpu.run.gan_common import make_gan_parser, run_gan

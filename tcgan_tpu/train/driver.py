@@ -18,7 +18,7 @@ driver", §3.1, §5.3):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import numpy as np
