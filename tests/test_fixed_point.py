@@ -142,3 +142,19 @@ def test_expo_stepper_same_fixed_point_bigger_dt():
                                rtol=1e-4, atol=1e-5)
     # and it should be much cheaper: fewer iterations than euler at small dt
     assert int(res.iters.max()) < int(ref.iters.max()) / 2
+
+
+def test_trajectory_and_rate_clipping():
+    cfg = _small_cfg(seqlen=100)
+    W, I = _random_problem(cfg)
+    res, traj = euler.solve_dynamics(cfg, W, I, return_trajectory=True)
+    assert traj.shape == (100,) + res.r.shape
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(res.r))
+    # clipping: divergent circuit saturates at clip_factor * rate_stop_at
+    n2 = cfg.num_neurons
+    W_bad = 5.0 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n2, n2)))
+    bad = euler.solve_dynamics(cfg, W_bad, 30.0 * jnp.ones((1, n2)),
+                               seqlen=500, clip_factor=3.0)
+    assert bool(bad.diverged.all())
+    assert float(bad.r.max()) <= 3.0 * cfg.rate_stop_at + 1e-6
+    assert np.isfinite(np.asarray(bad.r)).all()

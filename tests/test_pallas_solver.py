@@ -80,3 +80,22 @@ def test_backend_dispatch_through_ift():
     g_p = jax.grad(lambda W: loss(cfg_p, W))(W)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("io_type", ["asym_tanh", "asym_linear"])
+def test_pallas_io_variants_match_xla(io_type):
+    """Saturating io types agree between the kernel and the XLA solver."""
+    import dataclasses
+
+    cfg, W, I = _problem(B=4)
+    # low bounds so the saturating branch is actually exercised
+    cfg = dataclasses.replace(cfg, io_type=io_type, rate_soft_bound=0.15,
+                              rate_hard_bound=0.8, rate_stop_at=50.0)
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
+                                   interpret=True, two_phase=False)
+    assert bool(ref.converged.all())
+    # confirm saturation engaged (some rates above the soft bound)
+    assert float(ref.r.max()) > 0.15
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
