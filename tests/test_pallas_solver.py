@@ -99,3 +99,25 @@ def test_pallas_io_variants_match_xla(io_type):
     assert float(ref.r.max()) > 0.15
     np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_expo_stepper_matches_xla():
+    import dataclasses
+
+    cfg, W, I = _problem(B=4)
+    cfg = dataclasses.replace(cfg, stepper="expo", dt=2.0 * cfg.tau_I,
+                              max_iter=2000)
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
+                                   interpret=True, two_phase=False)
+    assert bool(ref.converged.all()) and bool(out.converged.all())
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_reference_parity_aliases():
+    from tcgan_tpu import ops
+
+    assert ops.find_fixed_points is fixed_point.solve_fixed_point
+    assert callable(ops.make_io_fun) and callable(ops.rate_to_volt)
+    assert callable(ops.solve_dynamics)
