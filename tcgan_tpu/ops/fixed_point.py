@@ -98,11 +98,14 @@ def solve_fixed_point(
     lead = jnp.broadcast_shapes(W.shape[:-2], I_ext.shape[:-2])
     S = I_ext.shape[-2]
     n2 = W.shape[-1]
+    I_ext = I_ext.astype(dtype)
     if r0 is None:
-        r0 = jnp.zeros(lead + (S, n2), dtype=dtype)
+        if cfg.init == "feedforward":
+            r0 = jnp.broadcast_to(f(I_ext), lead + (S, n2)).astype(dtype)
+        else:
+            r0 = jnp.zeros(lead + (S, n2), dtype=dtype)
     else:
         r0 = jnp.broadcast_to(r0, lead + (S, n2)).astype(dtype)
-    I_ext = I_ext.astype(dtype)
 
     dt_over_tau = cfg.step_gain(dtype=dtype)  # (2N,)
 

@@ -255,7 +255,8 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
     init = S(
         it=jnp.zeros((), jnp.int32),
-        r=jnp.zeros((R, n_pad), jnp.float32),
+        r=(f(I_tile) if cfg.init == "feedforward"
+           else jnp.zeros((R, n_pad), jnp.float32)),
         conv=jnp.zeros((R, 1), jnp.float32),
         div=jnp.zeros((R, 1), jnp.float32),
         iters=jnp.full((R, 1), float(cfg.max_iter), jnp.float32),

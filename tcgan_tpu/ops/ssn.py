@@ -80,6 +80,10 @@ class SSNConfig:
     # exactly, so dt is no longer capped by tau_I; same fixed point, same
     # convergence criterion, typically ~4x fewer iterations at dt ~ tau_I).
     stepper: str = "euler"
+    # Initial rates for fixed-point solves: "zero" (reference-faithful) or
+    # "feedforward" (r0 = f(I_ext) — the no-recurrence estimate, much
+    # closer to r* than zero, so the residual has less distance to decay).
+    init: str = "zero"
 
     def __post_init__(self):
         if self.io_type not in io_funs.IO_TYPES:

@@ -72,6 +72,9 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    help="convergence-check stride (Euler steps)")
     g.add_argument("--pallas-block-b", type=int, default=8,
                    help="circuits per Pallas kernel tile")
+    g.add_argument("--init", choices=("zero", "feedforward"), default="zero",
+                   help="fixed-point initial rates: zeros (reference) or "
+                        "the feedforward estimate f(I)")
     g.add_argument("--stepper", choices=("euler", "expo"), default="euler",
                    help="euler: reference-faithful forward Euler; expo: "
                         "exponential Euler (exact leak integration, dt not "
@@ -161,6 +164,7 @@ def ssn_config_from_args(args) -> SSNConfig:
         rate_stop_at=args.rate_stop_at, seqlen=args.seqlen,
         backend=args.solver_backend, check_every=args.check_every,
         pallas_block_b=args.pallas_block_b, stepper=args.stepper,
+        init=args.init,
     )
 
 

@@ -158,3 +158,17 @@ def test_trajectory_and_rate_clipping():
     assert bool(bad.diverged.all())
     assert float(bad.r.max()) <= 3.0 * cfg.rate_stop_at + 1e-6
     assert np.isfinite(np.asarray(bad.r)).all()
+
+
+def test_feedforward_init_same_fixed_point_fewer_iters():
+    import dataclasses
+
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg)
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    cfg_ff = dataclasses.replace(cfg, init="feedforward")
+    res = fixed_point.solve_fixed_point(cfg_ff, W, I)
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(np.asarray(res.r), np.asarray(ref.r),
+                               rtol=1e-5, atol=1e-7)
+    assert int(res.iters.max()) < int(ref.iters.max())

@@ -121,3 +121,16 @@ def test_reference_parity_aliases():
     assert ops.find_fixed_points is fixed_point.solve_fixed_point
     assert callable(ops.make_io_fun) and callable(ops.rate_to_volt)
     assert callable(ops.solve_dynamics)
+
+
+def test_pallas_feedforward_init_matches():
+    import dataclasses
+
+    cfg, W, I = _problem(B=4)
+    cfg_ff = dataclasses.replace(cfg, init="feedforward")
+    ref = fixed_point.solve_fixed_point(cfg_ff, W, I)
+    out = solve_fixed_point_pallas(cfg_ff, W, I, block_b=4, check_every=1,
+                                   interpret=True, two_phase=False)
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
+    assert bool(out.converged.all())
