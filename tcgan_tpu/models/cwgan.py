@@ -85,8 +85,30 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key):
     gp = gradient_penalty(cfg, critic_params, real, fake, key)
     wasserstein = jnp.mean(d_real) - jnp.mean(d_fake)
     loss = -wasserstein + cfg.gp_lambda * gp
-    acc = jnp.mean((d_real - d_fake > 0).astype(real.dtype))
+    # Rank accuracy with the same semantics as wgan.critic_loss_fn (fraction
+    # of comparable (real, fake) pairs ranked correctly) — here "comparable"
+    # means same stimulus condition, so pair within conditions only. Layout
+    # is condition-major within each circuit: row index = b * n_stim + s.
+    S = cfg.gen.n_stim
+    dr = d_real.reshape(-1, S)  # (B_real, S)
+    df = d_fake.reshape(-1, S)  # (B_fake, S)
+    acc = jnp.mean((dr[:, None, :] > df[None, :, :]).astype(real.dtype))
     return loss, (wasserstein, gp, acc)
+
+
+def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
+    """Generator loss (same signature as wgan.gen_loss_fn): negative critic
+    score of condition-tagged samples + rate penalty."""
+    fake, out = sample_conditional(cfg, gen_params, key, cfg.batch_size)
+    d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
+    pen = gen_lib.rate_penalty(cfg.gen, out.rates)
+    stats = (
+        pen,
+        jnp.mean(out.converged.astype(jnp.float32)),
+        jnp.mean(out.diverged.astype(jnp.float32)),
+        jnp.mean(out.iters.astype(jnp.float32)),
+    )
+    return -jnp.mean(d_fake) + cfg.rate_cost * pen, stats
 
 
 def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
@@ -139,20 +161,8 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    def gen_loss(gen_params):
-        fake, out = sample_conditional(cfg, gen_params, key_g, cfg.batch_size)
-        d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
-        pen = gen_lib.rate_penalty(cfg.gen, out.rates)
-        stats = (
-            pen,
-            jnp.mean(out.converged.astype(jnp.float32)),
-            jnp.mean(out.diverged.astype(jnp.float32)),
-            jnp.mean(out.iters.astype(jnp.float32)),
-        )
-        return -jnp.mean(d_fake) + cfg.rate_cost * pen, stats
-
     (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
-        gen_loss, has_aux=True
+        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
     )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)

@@ -64,6 +64,8 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
         return solve_fixed_point_pallas(
             cfg, W, I_ext, block_b=cfg.pallas_block_b,
             check_every=max(cfg.check_every, 1),
+            layout=cfg.pallas_layout,
+            two_phase=cfg.pallas_two_phase,
             # off-TPU (tests, CPU smoke) the kernel runs interpreted
             interpret=jax.default_backend() != "tpu",
         )

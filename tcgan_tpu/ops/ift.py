@@ -127,15 +127,26 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
     philam = phi * lam
     W_bar = jnp.einsum("...si,...sj->...ij", philam, r_star,
                        precision=jax.lax.Precision.HIGHEST)
-    I_bar = philam
-    # Broadcast-reduce if I_ext had fewer leading dims than W.
-    if I_bar.shape != I_ext.shape:
-        extra = I_bar.ndim - I_ext.ndim
-        I_bar = I_bar.sum(axis=tuple(range(extra)))
-    if W_bar.shape != W.shape:
-        extra = W_bar.ndim - W.ndim
-        W_bar = W_bar.sum(axis=tuple(range(extra)))
+    I_bar = _unbroadcast(philam, I_ext.shape)
+    W_bar = _unbroadcast(W_bar, W.shape)
     return W_bar, I_bar
+
+
+def _unbroadcast(bar: jnp.ndarray, shape: tuple) -> jnp.ndarray:
+    """Reduce a cotangent back to the primal's shape: sum over leading axes
+    the primal lacked AND over axes where the primal had size 1 but
+    broadcast to a larger size (e.g. I_ext (1, S, 2N) against W
+    (B, 2N, 2N))."""
+    if bar.shape == shape:
+        return bar
+    extra = bar.ndim - len(shape)
+    if extra:
+        bar = bar.sum(axis=tuple(range(extra)))
+    keep = tuple(ax for ax, (b, p) in enumerate(zip(bar.shape, shape))
+                 if b != p and p == 1)
+    if keep:
+        bar = bar.sum(axis=keep, keepdims=True)
+    return bar
 
 
 fixed_point_rates.defvjp(_fwd, _bwd)

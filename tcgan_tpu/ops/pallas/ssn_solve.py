@@ -154,7 +154,9 @@ def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
     init = S(
         it=jnp.zeros((), jnp.int32),
-        rT=jnp.zeros((n_pad, C), jnp.float32),
+        # same init options as the rows kernel / XLA path (cfg.init)
+        rT=(f(It) if cfg.init == "feedforward"
+            else jnp.zeros((n_pad, C), jnp.float32)),
         conv=jnp.zeros((1, C), jnp.float32),
         div=jnp.zeros((1, C), jnp.float32),
         iters=jnp.full((1, C), float(cfg.max_iter), jnp.float32),

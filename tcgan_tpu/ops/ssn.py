@@ -73,6 +73,12 @@ class SSNConfig:
     # (TPU only; falls back to xla for layouts the kernel doesn't cover).
     backend: str = "xla"
     pallas_block_b: int = 8  # circuits per kernel tile
+    # Kernel layout: "rows" (state = circuit-stim rows x neuron lanes) or
+    # "t" (transposed; neurons as rows). See ops/pallas/ssn_solve.py.
+    pallas_layout: str = "rows"
+    # Two-phase precision: fast-pass matmul loop to a coarse residual, then
+    # a Precision.HIGHEST tail to the real atol (rows layout only).
+    pallas_two_phase: bool = True
     check_every: int = 1  # convergence-check stride (both backends)
     # Time stepper: "euler" (reference-faithful forward Euler,
     # r += (dt/tau)(-r + f(u))) or "expo" (exponential Euler,

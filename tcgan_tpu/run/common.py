@@ -72,6 +72,10 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    help="convergence-check stride (Euler steps)")
     g.add_argument("--pallas-block-b", type=int, default=8,
                    help="circuits per Pallas kernel tile")
+    g.add_argument("--pallas-layout", choices=("rows", "t"), default="rows",
+                   help="Pallas kernel layout (rows measured fastest on v5e)")
+    g.add_argument("--pallas-two-phase", choices=("on", "off"), default="on",
+                   help="fast-pass first loop + HIGHEST-precision tail")
     g.add_argument("--init", choices=("zero", "feedforward"), default="zero",
                    help="fixed-point initial rates: zeros (reference) or "
                         "the feedforward estimate f(I)")
@@ -163,7 +167,10 @@ def ssn_config_from_args(args) -> SSNConfig:
         smoothness=args.smoothness, max_iter=args.max_iter, atol=args.atol,
         rate_stop_at=args.rate_stop_at, seqlen=args.seqlen,
         backend=args.solver_backend, check_every=args.check_every,
-        pallas_block_b=args.pallas_block_b, stepper=args.stepper,
+        pallas_block_b=args.pallas_block_b,
+        pallas_layout=args.pallas_layout,
+        pallas_two_phase=(args.pallas_two_phase == "on"),
+        stepper=args.stepper,
         init=args.init,
     )
 

@@ -72,7 +72,6 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
                    default="float32")
-    p.add_argument("--parallel", choices=("none", "mesh"), default="none")
     return p
 
 
@@ -114,10 +113,13 @@ def main(argv=None):
         "frac_converged": float(np.asarray(out.converged).mean()),
         "fitted_params": {k: v.tolist() for k, v in fitted.items()},
     }
-    if args.true_J:
-        true = {"J": np.asarray(common.as22(args.true_J)),
-                "D": np.asarray(common.as22(args.true_D or args.true_J)),
-                "S": np.asarray(common.as22(args.true_S or args.true_J))}
+    if args.true_J or args.true_D or args.true_S:
+        # Same fallback chain as fake-truth dataset generation
+        # (resolve_true_params -> DEFAULT_J/D/S), so recovery errors are
+        # computed against the ground truth the dataset actually used.
+        tj, td, ts = common.resolve_true_params(args)
+        true = {"J": np.asarray(tj), "D": np.asarray(td),
+                "S": np.asarray(ts)}
         result["param_recovery_error"] = param_recovery_error(
             {k: np.asarray(v) for k, v in fitted.items()}, true)
 

@@ -126,7 +126,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     driver = GANDriver(cfg, driver_cfg, store, step_fn, state, sampler,
-                       checkpoints=ckpt)
+                       checkpoints=ckpt, gen_loss_fn=model.gen_loss_fn)
     from tcgan_tpu.utils.profiling import maybe_trace
 
     with maybe_trace(getattr(args, "profile_dir", None)):

@@ -58,6 +58,7 @@ class GANDriver:
         state: Any,
         real_sampler: Callable[[jax.Array, int, int], Any],
         checkpoints: Optional[CheckpointManager] = None,
+        gen_loss_fn: Optional[Callable] = None,
     ):
         self.model_cfg = model_cfg
         self.cfg = driver_cfg
@@ -65,6 +66,10 @@ class GANDriver:
         self.train_step = train_step
         self.state = state
         self.real_sampler = real_sampler
+        # (cfg, gen_params, critic_params, key) -> (loss, aux): the model's
+        # TRUE generator loss, used so the recorded gradient_time matches the
+        # reference's semantics (time of the actual training gradient).
+        self.gen_loss_fn = gen_loss_fn
         self.checkpoints = checkpoints or CheckpointManager(store.subdir("ckpt"))
         critic_names = list(state.critic_params.keys())
         self.recorders = RecorderSet(store, critic_param_names=critic_names)
@@ -74,8 +79,11 @@ class GANDriver:
 
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
-        key = jax.random.PRNGKey(self.cfg.seed)
         start = int(self.state.step)
+        # Fold the starting step into the key so a checkpoint-resumed run
+        # CONTINUES the data/noise key stream instead of replaying keys
+        # from step 0 (resume reproducibility).
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
         try:
             for step in range(start, start + n_steps):
                 key, k_data, k_step = jax.random.split(key, 3)
@@ -128,6 +136,8 @@ class GANDriver:
     # -- internals ---------------------------------------------------------
 
     def _record(self, step: int, metrics):
+        if self.cfg.timing_every and step % self.cfg.timing_every == 0:
+            self._measure_component_times()
         row = {k: v for k, v in metrics._asdict().items()
                if not k.endswith("_iters") or k == "mean_iters"}
         row["step"] = step
@@ -140,8 +150,6 @@ class GANDriver:
                 step, metrics.d_loss_iters, metrics.wasserstein_iters,
                 metrics.gp_iters, metrics.acc_iters,
             )
-        if self.cfg.timing_every and step % self.cfg.timing_every == 0:
-            self._measure_component_times()
         values = gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)
         self.recorders.record_generator(step, values)
         self.recorders.record_disc_stats(
@@ -171,18 +179,26 @@ class GANDriver:
             self._solve_fn = jax.jit(
                 lambda p, k: gen_lib.sample_tuning_curves(gen_cfg, p, k,
                                                           batch).rates)
-            self._grad_fn = jax.jit(jax.grad(
-                lambda p, k: jnp.mean(
-                    gen_lib.sample_tuning_curves(gen_cfg, p, k, batch).tc)))
+            if self.gen_loss_fn is not None:
+                model_cfg, loss = self.model_cfg, self.gen_loss_fn
+                self._grad_fn = jax.jit(jax.grad(
+                    lambda p, cp, k: loss(model_cfg, p, cp, k)[0]))
+            else:
+                # fallback probe when no model loss was supplied
+                self._grad_fn = jax.jit(jax.grad(
+                    lambda p, cp, k: jnp.mean(
+                        gen_lib.sample_tuning_curves(gen_cfg, p, k, batch).tc)))
             # warm both compiles outside the timed region
             key = jax.random.PRNGKey(0)
             jax.block_until_ready(self._solve_fn(self.state.gen_params, key))
-            jax.block_until_ready(self._grad_fn(self.state.gen_params, key))
+            jax.block_until_ready(self._grad_fn(
+                self.state.gen_params, self.state.critic_params, key))
         key = jax.random.PRNGKey(int(self.state.step))
         with self.watch.time("SSsolve"):
             jax.block_until_ready(self._solve_fn(self.state.gen_params, key))
         with self.watch.time("gradient"):
-            jax.block_until_ready(self._grad_fn(self.state.gen_params, key))
+            jax.block_until_ready(self._grad_fn(
+                self.state.gen_params, self.state.critic_params, key))
 
     def _check_divergence(self, step: int, metrics):
         frac = float(metrics.frac_diverged)
@@ -224,8 +240,9 @@ class MomentMatchingDriver:
 
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
-        key = jax.random.PRNGKey(self.cfg.seed)
         start = int(self.state.step)
+        # As in GANDriver.run: continue the key stream across resume.
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
         try:
             for step in range(start, start + n_steps):
                 key, k_step = jax.random.split(key)

@@ -176,3 +176,24 @@ def test_diverged_samples_do_not_poison_gradient():
     g = jax.grad(loss)(J0.astype(jnp.float64))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_equal_rank_size1_broadcast_cotangent():
+    """I_ext with a size-1 leading dim of the SAME rank as W's batch (e.g.
+    (1, S, 2N) against (B, 2N, 2N) -> rates (B, S, 2N)) must yield an
+    I_ext cotangent of shape (1, S, 2N) = the sum over the broadcast axis."""
+    x, z, I = _setup()
+    W = weights.build_weight(J0.astype(jnp.float64), D0.astype(jnp.float64),
+                             S0.astype(jnp.float64), z, x)  # (2, 2N, 2N)
+    I1 = I[None]  # (1, S, 2N), same rank as the (B, S, 2N) rates
+
+    def loss(I_in):
+        res = ift.solve_fixed_point_implicit(CFG, W, I_in, bwd_atol=1e-10)
+        return jnp.sum(res.r ** 2)
+
+    g1 = jax.grad(loss)(I1)
+    assert g1.shape == I1.shape
+    # must equal the unbroadcast (rank-reduced) gradient
+    g0 = jax.grad(lambda I_in: loss(I_in[None]))(I)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0),
+                               rtol=1e-10, atol=1e-12)

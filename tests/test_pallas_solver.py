@@ -123,14 +123,45 @@ def test_reference_parity_aliases():
     assert callable(ops.solve_dynamics)
 
 
-def test_pallas_feedforward_init_matches():
+@pytest.mark.parametrize("layout", ["rows", "t"])
+def test_pallas_feedforward_init_matches(layout):
     import dataclasses
 
     cfg, W, I = _problem(B=4)
     cfg_ff = dataclasses.replace(cfg, init="feedforward")
     ref = fixed_point.solve_fixed_point(cfg_ff, W, I)
     out = solve_fixed_point_pallas(cfg_ff, W, I, block_b=4, check_every=1,
-                                   interpret=True, two_phase=False)
+                                   interpret=True, two_phase=False,
+                                   layout=layout)
     np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
                                rtol=1e-4, atol=1e-5)
     assert bool(out.converged.all())
+    # feedforward warm start must agree on iteration counts with the XLA
+    # path (the whole point of honoring cfg.init per layout) up to a few
+    # steps of float-associativity jitter at the atol crossing
+    assert np.max(np.abs(np.asarray(out.iters, np.int64)
+                         - np.asarray(ref.iters, np.int64))) <= 4
+
+
+def test_solve_any_honors_pallas_knobs(monkeypatch):
+    """SSNConfig.pallas_layout / pallas_two_phase must reach the kernel."""
+    import dataclasses
+
+    from tcgan_tpu.ops import fixed_point as fp
+
+    seen = {}
+    real = solve_fixed_point_pallas
+
+    def spy(cfg, W, I, **kw):
+        seen.update(kw)
+        return real(cfg, W, I, **kw)
+
+    import tcgan_tpu.ops.pallas as pallas_pkg
+    monkeypatch.setattr(pallas_pkg, "solve_fixed_point_pallas", spy)
+    cfg, W, I = _problem(B=2)
+    cfg = dataclasses.replace(cfg, backend="pallas", pallas_layout="t",
+                              pallas_two_phase=False, pallas_block_b=2)
+    fp.solve_any(cfg, W, I)
+    assert seen["layout"] == "t"
+    assert seen["two_phase"] is False
+    assert seen["block_b"] == 2
