@@ -66,6 +66,7 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
             check_every=max(cfg.check_every, 1),
             layout=cfg.pallas_layout,
             two_phase=cfg.pallas_two_phase,
+            refine=cfg.pallas_refine,
             # off-TPU (tests, CPU smoke) the kernel runs interpreted
             interpret=jax.default_backend() != "tpu",
         )

@@ -171,7 +171,7 @@ def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
 
 def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
-                   check_every: int, two_phase: bool,
+                   check_every: int, two_phase: bool, refine: bool,
                    W_ref, I_ref, dtau_ref, r_ref, conv_ref, div_ref,
                    iters_ref):
     """Fully 2-D kernel: the tile's state is R = block_b*s_pad rows of
@@ -184,25 +184,39 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
     Precision.HIGHEST to the real atol. The exponential residual decay
     spends most iterations above the coarse threshold, so most of the work
     runs at fast-pass speed while the converged answer keeps f32 accuracy.
+
+    refine: replace the phase-2 HIGHEST loop (6 bf16 MXU passes per f32
+    matmul — the wall-time bottleneck, since phase 2 runs hundreds of
+    iterations) with ITERATIVE REFINEMENT: once per check chunk take a
+    HIGHEST-precision anchor ``u_ref = W r_ref + I`` at the current rates,
+    then iterate on the correction ``e = r - r_ref`` with single-pass
+    DEFAULT matmuls — ``u = u_ref + W e`` is f32-accurate in absolute terms
+    because the bf16 rounding error of ``W e`` is relative to the small
+    ``|e|``, not to ``|r|``. Same Euler update, same residual criterion,
+    same fixed point; ~6x cheaper matmuls on the tail (measured on v5e:
+    146.7k -> see BASELINE.md round-2 row).
     """
     f = _io_fns(cfg)
     R = block_b * s_pad
     I_tile = jnp.concatenate([I_ref[:]] * block_b, axis=0)  # (R, n_pad)
     dtau = dtau_ref[:]  # (1, n_pad), row-broadcasts
 
+    def raw_drive(r, precision):
+        # u rows for circuit b: r[b*s_pad:(b+1)*s_pad] @ W[b]^T  (MXU)
+        outs = [
+            jax.lax.dot_general(
+                r[b * s_pad:(b + 1) * s_pad], W_ref[b],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            for b in range(block_b)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
     def make_drive(precision):
         def drive(r):
-            # u rows for circuit b: r[b*s_pad:(b+1)*s_pad] @ W[b]^T  (MXU)
-            outs = [
-                jax.lax.dot_general(
-                    r[b * s_pad:(b + 1) * s_pad], W_ref[b],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                for b in range(block_b)
-            ]
-            return jnp.concatenate(outs, axis=0) + I_tile
+            return raw_drive(r, precision) + I_tile
 
         return drive
 
@@ -255,6 +269,45 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
         return cond, body
 
+    def make_refine_loop(atol, max_it):
+        """Phase-2 loop via iterative refinement (see docstring)."""
+        drive_hi = make_drive(jax.lax.Precision.HIGHEST)
+
+        def cond(s: S):
+            n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
+            return (s.it < max_it) & (n_resolved < R - 0.5)
+
+        def body(s: S):
+            active = 1.0 - s.conv - s.div  # (R, 1)
+            u_anchor = drive_hi(s.r)  # HIGHEST anchor, once per chunk
+            r_base = s.r
+            e = jnp.zeros_like(s.r)
+            delta = e
+            for _ in range(check_every):
+                u = u_anchor + raw_drive(e, jax.lax.Precision.DEFAULT)
+                delta = -(r_base + e) + f(u)
+                e = e + active * (dtau * delta)
+            r = r_base + e
+            err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
+            peak = jnp.max(r, axis=-1, keepdims=True)
+            it_next = s.it + check_every
+            div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
+            conv_hit = jnp.where(err < atol, 1.0, 0.0)
+            newly_div = active * div_hit
+            newly_conv = active * (1.0 - div_hit) * conv_hit
+            resolved = newly_div + newly_conv
+            return S(
+                it=it_next,
+                r=r,
+                conv=s.conv + newly_conv,
+                div=s.div + newly_div,
+                iters=s.iters + resolved * (
+                    it_next.astype(jnp.float32) - s.iters
+                ),
+            )
+
+        return cond, body
+
     init = S(
         it=jnp.zeros((), jnp.int32),
         r=(f(I_tile) if cfg.init == "feedforward"
@@ -280,7 +333,10 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                   # keep phase-1 iteration counts for diverged rows
                   iters=mid.div * mid.iters
                   + (1.0 - mid.div) * float(cfg.max_iter))
-        cond2, body2 = make_loop(substep, cfg.atol, cfg.max_iter)
+        if refine:
+            cond2, body2 = make_refine_loop(cfg.atol, cfg.max_iter)
+        else:
+            cond2, body2 = make_loop(substep, cfg.atol, cfg.max_iter)
         out = jax.lax.while_loop(cond2, body2, init2)
     else:
         cond1, body1 = make_loop(substep, cfg.atol, cfg.max_iter)
@@ -295,7 +351,7 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block_b", "check_every", "interpret", "layout",
-                     "two_phase"),
+                     "two_phase", "refine"),
 )
 def solve_fixed_point_pallas(
     cfg: SSNConfig,
@@ -306,6 +362,7 @@ def solve_fixed_point_pallas(
     interpret: bool = False,
     layout: str = "rows",
     two_phase: bool = True,
+    refine: bool = True,
 ) -> FixedPointResult:
     """Fixed-point solve via the fused VMEM-resident kernel.
 
@@ -390,7 +447,7 @@ def solve_fixed_point_pallas(
     elif layout == "rows":
         kernel = functools.partial(
             _solver_kernel, cfg, block_b, s_pad, n_pad, check_every,
-            two_phase,
+            two_phase, refine,
         )
         r, conv, div, iters = pl.pallas_call(
             kernel,

@@ -76,6 +76,9 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    help="Pallas kernel layout (rows measured fastest on v5e)")
     g.add_argument("--pallas-two-phase", choices=("on", "off"), default="on",
                    help="fast-pass first loop + HIGHEST-precision tail")
+    g.add_argument("--pallas-refine", choices=("on", "off"), default="on",
+                   help="iterative-refinement tail (DEFAULT-precision "
+                        "correction steps around a HIGHEST anchor)")
     g.add_argument("--init", choices=("zero", "feedforward"), default="zero",
                    help="fixed-point initial rates: zeros (reference) or "
                         "the feedforward estimate f(I)")
@@ -170,6 +173,7 @@ def ssn_config_from_args(args) -> SSNConfig:
         pallas_block_b=args.pallas_block_b,
         pallas_layout=args.pallas_layout,
         pallas_two_phase=(args.pallas_two_phase == "on"),
+        pallas_refine=(args.pallas_refine == "on"),
         stepper=args.stepper,
         init=args.init,
     )

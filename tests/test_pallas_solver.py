@@ -23,12 +23,14 @@ def _problem(B=5):
     return cfg, W.astype(jnp.float32), I.astype(jnp.float32)
 
 
-@pytest.mark.parametrize("layout", ["rows", "t"])
-def test_pallas_matches_xla_solver(layout):
+@pytest.mark.parametrize("layout,refine", [("rows", True), ("rows", False),
+                                           ("t", False)])
+def test_pallas_matches_xla_solver(layout, refine):
     cfg, W, I = _problem()
     ref = fixed_point.solve_fixed_point(cfg, W, I)
     out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
-                                   interpret=True, layout=layout)
+                                   interpret=True, layout=layout,
+                                   refine=refine)
     assert out.r.shape == ref.r.shape
     assert bool(ref.converged.all())
     np.testing.assert_array_equal(np.asarray(out.converged),
@@ -165,3 +167,22 @@ def test_solve_any_honors_pallas_knobs(monkeypatch):
     assert seen["layout"] == "t"
     assert seen["two_phase"] is False
     assert seen["block_b"] == 2
+
+
+def test_refine_tail_converges_tight_atol():
+    """The refinement tail must reach a tight residual (well below the
+    coarse phase-1 threshold) and agree with the XLA solver's fixed point
+    and iteration counts."""
+    import dataclasses
+
+    cfg, W, I = _problem(B=4)  # atol=1e-6, far below the 1e-2 coarse phase
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=8,
+                                   interpret=True, two_phase=True,
+                                   refine=True)
+    assert bool(out.converged.all())
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-5, atol=1e-6)
+    # counts agree up to the check stride + phase-boundary quantization
+    assert np.max(np.abs(np.asarray(out.iters, np.int64)
+                         - np.asarray(ref.iters, np.int64))) <= 24
