@@ -5,4 +5,5 @@ Reference parity: ``tc_gan/loaders.py`` + ``tc_gan/analyzers/``
 (SURVEY.md §1 L6).
 """
 
+from tcgan_tpu.analysis.compare import load_runs  # noqa: F401
 from tcgan_tpu.analysis.loaders import RunRecord, load_run  # noqa: F401

@@ -124,6 +124,7 @@ def main(argv=None):
             {k: np.asarray(v) for k, v in fitted.items()}, true)
 
     if args.datastore:
+        from tcgan_tpu.analysis.tc_grid import plot_tc_grid
         from tcgan_tpu.train.datastore import DataStore
 
         store = DataStore(args.datastore)
@@ -131,6 +132,13 @@ def main(argv=None):
         np.savez(store.file("eval_tuning_curves.npz"), gen_tc=gen_tc,
                  data_tc=data_tc)
         _plot_tc_comparison(gen_tc, data_tc, store.file("tc_comparison.png"))
+        # paper-style per-condition marginal grid (labels only meaningful
+        # when each tc feature IS one stimulus condition)
+        labels = (np.asarray(gen_cfg.condition_features()).tolist()
+                  if gen_tc.shape[1] == gen_cfg.n_stim else None)
+        w1s = plot_tc_grid(gen_tc, data_tc, labels,
+                           store.file("tc_grid.png"))
+        result["per_condition_w1"] = [round(float(w), 6) for w in w1s]
         store.finalize("finished", {"result": result})
     print(json.dumps(result))
     return 0

@@ -1,0 +1,96 @@
+"""Analyzer-layer tests: TC-distribution grid, multi-run comparison,
+metrics (SURVEY.md §2 "Analyzers / loaders")."""
+
+import json
+
+import numpy as np
+
+from tcgan_tpu.analysis.compare import load_runs, plot_comparison, summarize
+from tcgan_tpu.analysis.metrics import (
+    param_recovery_error, sliced_w1, tc_w1, w1_per_feature,
+)
+from tcgan_tpu.analysis.tc_grid import per_condition_w1, plot_tc_grid
+
+
+def test_w1_identical_distributions_is_zero():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 4))
+    assert tc_w1(a, a.copy()) < 1e-12
+    assert sliced_w1(a, a.copy()) < 1e-12
+
+
+def test_w1_detects_mean_shift():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2000, 3))
+    b = a + np.array([1.0, 0.0, 0.0])
+    w = w1_per_feature(a, b)
+    assert abs(w[0] - 1.0) < 0.05
+    assert w[1] < 0.05 and w[2] < 0.05
+
+
+def test_tc_grid_writes_figure_and_w1(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(300, 6)) + 2.0
+    gen = rng.normal(size=(200, 6)) + np.array([2, 2, 2, 2.5, 2, 2])
+    labels = [(0.25, 5.0), (0.5, 5.0), (1.0, 5.0),
+              (0.25, 10.0), (0.5, 10.0), (1.0, 10.0)]
+    w1s = plot_tc_grid(gen, data, labels, tmp_path / "grid.png")
+    assert (tmp_path / "grid.png").exists()
+    assert w1s.shape == (6,)
+    assert w1s[3] > 0.3  # the shifted condition stands out
+    np.testing.assert_allclose(w1s, per_condition_w1(gen, data))
+
+
+def _fake_run(tmp_path, name, j_final):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "info.json").write_text(json.dumps({"status": "finished"}))
+    steps = np.arange(5)
+    lrn = ["step,d_loss,g_loss,wasserstein,frac_converged,frac_diverged"]
+    for s in steps:
+        lrn.append(f"{s},{0.5 - 0.05 * s},{0.2},{0.1},{1.0},{0.0}")
+    (d / "learning.csv").write_text("\n".join(lrn) + "\n")
+    cols = ["step"] + [f"{n}_{a}{b}" for n in "JDS"
+                       for a in "EI" for b in "EI"]
+    rows = [",".join(cols)]
+    for s in steps:
+        vals = [str(s)] + [str(j_final)] * 4 + ["0.1"] * 8
+        rows.append(",".join(vals))
+    (d / "generator.csv").write_text("\n".join(rows) + "\n")
+    return d
+
+
+def test_compare_runs_loads_plots_and_summarizes(tmp_path):
+    d1 = _fake_run(tmp_path, "runA", 0.05)
+    d2 = _fake_run(tmp_path, "runB", 0.03)
+    recs = load_runs([d1, d2])
+    assert len(recs) == 2
+    out = tmp_path / "cmp.png"
+    true = {"J": ((0.05, 0.05), (0.05, 0.05)),
+            "D": ((0.1, 0.1), (0.1, 0.1)),
+            "S": ((0.1, 0.1), (0.1, 0.1))}
+    plot_comparison(recs, out, true_params=true)
+    assert out.exists()
+    summary = summarize(recs, true_params=true)
+    assert summary["runA"]["param_recovery_error"]["J"] < 1e-9
+    assert summary["runB"]["param_recovery_error"]["J"] > 0.3
+    assert summary["runA"]["final"]["d_loss"] == 0.3
+
+
+def test_compare_cli(tmp_path, capsys):
+    from tcgan_tpu.analysis import compare
+
+    d1 = _fake_run(tmp_path, "r1", 0.05)
+    d2 = _fake_run(tmp_path, "r2", 0.04)
+    rc = compare.main([str(d1), str(d2), "-o", str(tmp_path / "c.png"),
+                       "--true-J", "0.05", "0.05", "0.05", "0.05"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert "r1" in out["runs"] and "r2" in out["runs"]
+    assert (tmp_path / "c.png").exists()
+
+
+def test_param_recovery_error_basics():
+    t = {"J": np.eye(2)}
+    assert param_recovery_error({"J": np.eye(2)}, t)["J"] < 1e-12
+    assert abs(param_recovery_error({"J": 2 * np.eye(2)}, t)["J"] - 1.0) < 1e-12

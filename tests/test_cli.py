@@ -102,9 +102,11 @@ def test_eval_cli_end_to_end(tmp_path):
     d = str(tmp_path / "g2")
     gan.main(TINY_GAN + ["--datastore", d])
     buf = io.StringIO()
+    ev = str(tmp_path / "g2_eval")
     with contextlib.redirect_stdout(buf):
         rc = eval_cli.main(TINY_BASE + [
             "--run", d, "--eval-samples", "8", "--truth-samples", "8",
+            "--datastore", ev,
             "--true-J", "0.02", "0.016", "0.02", "0.012",
             "--true-D", "0.05", "0.04", "0.05", "0.04",
             "--true-S", "0.25", "0.1", "0.25", "0.1"])
@@ -112,6 +114,10 @@ def test_eval_cli_end_to_end(tmp_path):
     out = json.loads(buf.getvalue().strip().split("\n")[-1])
     assert np.isfinite(out["tc_w1"])
     assert "param_recovery_error" in out
+    # eval artifacts: TC comparison + per-condition marginal grid
+    assert (tmp_path / "g2_eval" / "tc_comparison.png").exists()
+    assert (tmp_path / "g2_eval" / "tc_grid.png").exists()
+    assert len(out["per_condition_w1"]) == 2  # 2 stimulus conditions
 
 
 def test_learning_curves_analyzer(tmp_path):
