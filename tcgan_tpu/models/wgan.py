@@ -102,8 +102,13 @@ def make_optimizers(cfg: WGANConfig):
     def tx(lr):
         adam = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
         if cfg.clip_grad > 0:
-            return optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
-        return adam
+            adam = optax.chain(optax.clip_by_global_norm(cfg.clip_grad),
+                               adam)
+        # Skip (don't apply) any update containing non-finite values
+        # instead of corrupting the whole training state — the GAN analog
+        # of the reference's reject-the-bad-sample semantics for the rare
+        # step where a loss/grad overflows despite the solver-side clamps.
+        return optax.apply_if_finite(adam, max_consecutive_errors=100)
 
     return tx(cfg.lr_gen), tx(cfg.lr_critic)
 

@@ -111,16 +111,23 @@ def solve_fixed_point(
         r0 = jnp.broadcast_to(r0, lead + (S, n2)).astype(dtype)
 
     dt_over_tau = cfg.step_gain(dtype=dtype)  # (2N,)
+    # Hard ceiling well above the divergence-detection bound: the power-law
+    # io makes runaway rates grow SUPER-exponentially, so an unchecked
+    # check_every window can carry a sample from rate_stop_at to f32
+    # overflow — inf rates then NaN-poison everything downstream (critic,
+    # losses). Clipping above the detection ceiling preserves the diverged
+    # flag semantics exactly (same clip the BPTT path applies).
+    r_ceiling = jnp.asarray(10.0 * cfg.rate_stop_at, dtype)
 
     def substeps(r):
         def one(i, r):
             u = recurrent_drive(W, r, I_ext)
             delta = -r + f(u)
-            return r + dt_over_tau * delta
+            return jnp.minimum(r + dt_over_tau * delta, r_ceiling)
         r = lax.fori_loop(0, check_every - 1, one, r) if check_every > 1 else r
         u = recurrent_drive(W, r, I_ext)
         delta = -r + f(u)
-        return r + dt_over_tau * delta, delta
+        return jnp.minimum(r + dt_over_tau * delta, r_ceiling), delta
 
     class _State(NamedTuple):
         r: jnp.ndarray

@@ -113,10 +113,12 @@ def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         ]
         return jnp.concatenate(outs, axis=1) + It
 
+    r_ceiling = jnp.float32(10.0 * cfg.rate_stop_at)  # see rows kernel
+
     def substep(rT, active):
         u = drive(rT)
         delta = -rT + f(u)
-        return rT + active * (dtau * delta), delta
+        return jnp.minimum(rT + active * (dtau * delta), r_ceiling), delta
 
     class S(NamedTuple):
         it: jnp.ndarray
@@ -220,11 +222,17 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
         return drive
 
+    # Clip above the divergence ceiling: the power-law io grows runaway
+    # rates super-exponentially, so an unchecked check_every window can
+    # carry a sample to f32 inf (which then NaN-poisons the GAN losses).
+    # Same semantics-preserving clamp as the XLA/BPTT paths.
+    r_ceiling = jnp.float32(10.0 * cfg.rate_stop_at)
+
     def make_substep(drive):
         def substep(r, active):
             u = drive(r)
             delta = -r + f(u)
-            return r + active * (dtau * delta), delta
+            return jnp.minimum(r + active * (dtau * delta), r_ceiling), delta
 
         return substep
 
@@ -286,7 +294,9 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
             for _ in range(check_every):
                 u = u_anchor + raw_drive(e, jax.lax.Precision.DEFAULT)
                 delta = -(r_base + e) + f(u)
-                e = e + active * (dtau * delta)
+                # same overflow clamp as the plain loops (on r = r_base + e)
+                e = jnp.minimum(e + active * (dtau * delta),
+                                r_ceiling - r_base)
             r = r_base + e
             err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
             peak = jnp.max(r, axis=-1, keepdims=True)

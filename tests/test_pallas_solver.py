@@ -186,3 +186,24 @@ def test_refine_tail_converges_tight_atol():
     # counts agree up to the check stride + phase-boundary quantization
     assert np.max(np.abs(np.asarray(out.iters, np.int64)
                          - np.asarray(ref.iters, np.int64))) <= 24
+
+
+@pytest.mark.parametrize("backend", ["xla", "kernel"])
+def test_runaway_rates_stay_finite(backend):
+    """Super-exponential blow-up between convergence checks must saturate
+    at the clip ceiling (finite), not overflow to inf — inf rates NaN-
+    poison the GAN losses downstream (observed in a live fit)."""
+    cfg = SSNConfig(N=4, k=0.05, n=2.2, dt=0.002, max_iter=512,
+                    rate_stop_at=200.0, atol=1e-6, check_every=32)
+    n2 = cfg.num_neurons
+    W_bad = 8.0 * jnp.abs(jax.random.normal(jax.random.PRNGKey(0),
+                                            (2, n2, n2)))
+    I = 50.0 * jnp.ones((1, n2), jnp.float32)
+    if backend == "xla":
+        out = fixed_point.solve_fixed_point(cfg, W_bad, I, check_every=32)
+    else:
+        out = solve_fixed_point_pallas(cfg, W_bad, I, block_b=2,
+                                       check_every=32, interpret=True)
+    assert bool(out.diverged.all())
+    assert np.all(np.isfinite(np.asarray(out.r)))
+    assert float(out.r.max()) <= 10.0 * cfg.rate_stop_at + 1e-3
