@@ -127,6 +127,8 @@ def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
         critic_params=critic_params,
         critic_opt=critic_tx.init(critic_params),
         step=jnp.zeros((), jnp.int32),
+        ema_params=(jax.tree.map(jnp.copy, gen_params)
+                    if cfg.ema_decay > 0 else None),
     )
 
 
@@ -167,10 +169,16 @@ def train_step_impl(
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
+    ema_params = state.ema_params
+    if cfg.ema_decay > 0 and ema_params is not None:
+        d = cfg.ema_decay
+        ema_params = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                  ema_params, gen_params)
+
     new_state = TrainState(
         gen_params=gen_params, gen_opt=gen_opt,
         critic_params=critic_params, critic_opt=critic_opt,
-        step=state.step + 1,
+        step=state.step + 1, ema_params=ema_params,
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1], g_loss=g_loss, wasserstein=ws[-1], gp=gps[-1],

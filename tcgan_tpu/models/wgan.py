@@ -50,6 +50,12 @@ class WGANConfig:
     beta2: float = 0.9
     rate_cost: float = 0.01  # generator penalty on rates above soft bound
     clip_grad: float = 0.0  # global-norm gradient clip (0 = off)
+    # exponential lr decay: lr * rate^(step/steps); 0 steps = constant lr
+    lr_decay_steps: int = 0
+    lr_decay_rate: float = 0.5
+    # exponential moving average of the generator params (0 = off) — a
+    # cheap variance-reduction lever for the recovered parameter estimate
+    ema_decay: float = 0.0
     seed: int = 0
     # per-feature critic input scale (1/mean TC of the dataset when the
     # --normalize-input knob is on); None = raw inputs
@@ -74,6 +80,8 @@ class TrainState(NamedTuple):
     critic_params: Dict[str, jnp.ndarray]
     critic_opt: Any
     step: jnp.ndarray
+    # EMA of gen_params when cfg.ema_decay > 0, else None (empty pytree)
+    ema_params: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -100,6 +108,9 @@ class StepMetrics(NamedTuple):
 
 def make_optimizers(cfg: WGANConfig):
     def tx(lr):
+        if cfg.lr_decay_steps > 0:
+            lr = optax.exponential_decay(lr, cfg.lr_decay_steps,
+                                         cfg.lr_decay_rate)
         adam = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
         if cfg.clip_grad > 0:
             adam = optax.chain(optax.clip_by_global_norm(cfg.clip_grad),
@@ -127,6 +138,8 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
         critic_params=critic_params,
         critic_opt=critic_tx.init(critic_params),
         step=jnp.zeros((), jnp.int32),
+        ema_params=(jax.tree.map(jnp.copy, gen_params)
+                    if cfg.ema_decay > 0 else None),
     )
 
 
@@ -209,12 +222,19 @@ def train_step_impl(
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
+    ema_params = state.ema_params
+    if cfg.ema_decay > 0 and ema_params is not None:
+        d = cfg.ema_decay
+        ema_params = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                  ema_params, gen_params)
+
     new_state = TrainState(
         gen_params=gen_params,
         gen_opt=gen_opt,
         critic_params=critic_params,
         critic_opt=critic_opt,
         step=state.step + 1,
+        ema_params=ema_params,
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1],

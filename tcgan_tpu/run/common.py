@@ -121,6 +121,14 @@ def add_gan_flags(p: argparse.ArgumentParser):
                    help="scale critic inputs by 1/mean dataset tuning curve")
     g.add_argument("--clip-grad", type=float, default=0.0,
                    help="global-norm gradient clip for both nets (0 = off)")
+    g.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="exponential lr decay horizon in steps (0 = off)")
+    g.add_argument("--lr-decay-rate", type=float, default=0.5,
+                   help="decay factor applied every --lr-decay-steps")
+    g.add_argument("--gen-ema", type=float, default=0.0,
+                   help="EMA decay for generator params (e.g. 0.999; 0 = "
+                        "off); the EMA estimate is exported to "
+                        "disc_params.npz as J_ema/D_ema/S_ema")
 
 
 def add_run_flags(p: argparse.ArgumentParser):

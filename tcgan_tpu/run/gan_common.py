@@ -80,6 +80,9 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         beta2=args.adam_beta2,
         rate_cost=args.rate_cost,
         clip_grad=args.clip_grad,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_decay_rate=args.lr_decay_rate,
+        ema_decay=args.gen_ema,
         seed=args.seed,
     )
 

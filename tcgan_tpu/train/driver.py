@@ -125,11 +125,18 @@ class GANDriver:
         reference's lasagne `.npz` critic dumps (SURVEY.md §5.4), readable
         without orbax/jax."""
         values = gen_lib.param_values(self.model_cfg.gen, self.state.gen_params)
+        extra = {}
+        if getattr(self.state, "ema_params", None) is not None:
+            ema = gen_lib.param_values(self.model_cfg.gen,
+                                       self.state.ema_params)
+            extra = {f"{n}_ema": np.asarray(v)
+                     for n, v in zip(("J", "D", "S"), ema)}
         np.savez(
             self.store.file("disc_params.npz"),
             step=np.asarray(step),
             J=np.asarray(values[0]), D=np.asarray(values[1]),
             S=np.asarray(values[2]),
+            **extra,
             **{k: np.asarray(v) for k, v in self.state.critic_params.items()},
         )
 

@@ -177,3 +177,48 @@ def test_cwgan_multicontrast_with_inhibitory_probes():
     np.testing.assert_allclose(np.asarray(tagged[:4, -2:]), feats)
     # critic input dim matches config
     assert cfg.critic_cfg.in_dim == 6
+
+
+def test_lr_decay_and_gen_ema():
+    """lr schedule shrinks step sizes over time; EMA params trail the live
+    params and are exported."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tcgan_tpu.models import wgan as wgan_lib
+    from tcgan_tpu.models.generator import GeneratorConfig
+    from tcgan_tpu.ops.ssn import SSNConfig
+
+    gen = GeneratorConfig(
+        ssn=SSNConfig(N=6, k=0.005, n=2.0, dt=0.001, max_iter=800,
+                      atol=1e-5),
+        bandwidths=(0.25, 1.0), contrasts=(5.0,), sample_sites=1,
+        solver="ift",
+    )
+    cfg = wgan_lib.WGANConfig(gen=gen, critic_layers=(8,), batch_size=4,
+                              n_critic=2, n_critic0=2,
+                              lr_decay_steps=2, lr_decay_rate=0.1,
+                              ema_decay=0.5)
+    state = wgan_lib.init_state(cfg)
+    assert state.ema_params is not None
+    key = jax.random.PRNGKey(0)
+    real = 0.1 * jax.random.normal(
+        key, (2, cfg.critic_batch, gen.tc_dim)) + 1.0
+    s1, _ = wgan_lib.train_step(cfg, 2, state, real, key)
+    # EMA trails: ema = 0.5*old + 0.5*new -> halfway between init and live
+    mid = 0.5 * (np.asarray(state.gen_params["J"])
+                 + np.asarray(s1.gen_params["J"]))
+    np.testing.assert_allclose(np.asarray(s1.ema_params["J"]), mid,
+                               rtol=1e-6)
+    # lr decay: by step 4 the lr fell 100x, so updates shrink ~100x
+    s2, _ = wgan_lib.train_step(cfg, 2, s1, real, jax.random.PRNGKey(1))
+    s3, _ = wgan_lib.train_step(cfg, 2, s2, real, jax.random.PRNGKey(2))
+    s4, _ = wgan_lib.train_step(cfg, 2, s3, real, jax.random.PRNGKey(3))
+    d_early = float(jnp.max(jnp.abs(s1.gen_params["J"]
+                                    - state.gen_params["J"])))
+    d_late = float(jnp.max(jnp.abs(s4.gen_params["J"]
+                                   - s3.gen_params["J"])))
+    assert d_late < 0.2 * d_early
