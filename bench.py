@@ -94,11 +94,18 @@ def main() -> int:
         for name, kw in variants.items():
             out = jax.jit(lambda w: solve_fixed_point_pallas(
                 cfg, w, I_ext, interpret=not on_tpu, **kw))(Wp)
-            rdiff = float(jnp.max(jnp.abs(out.r - ref.r)))
-            conv_match = bool((out.converged == ref.converged).all())
-            if rdiff > 5e-3 or not conv_match:
+            # Compare rates only where BOTH solvers converged (diverged/
+            # capped samples freeze at whichever check stride caught them,
+            # so their rates legitimately differ between variants), and
+            # allow a 1-sample flag discrepancy for atol-boundary flips
+            # between check strides.
+            both = (out.converged & ref.converged)[..., None]
+            rdiff = float(jnp.max(jnp.abs((out.r - ref.r)
+                                          * both.astype(out.r.dtype))))
+            n_flag_mismatch = int((out.converged != ref.converged).sum())
+            if rdiff > 5e-3 or n_flag_mismatch > 1:
                 print(f"PARITY FAIL {name}: rdiff={rdiff} "
-                      f"conv_match={conv_match}", file=sys.stderr)
+                      f"flag_mismatches={n_flag_mismatch}", file=sys.stderr)
                 ok = False
         return ok
 

@@ -131,6 +131,18 @@ def param_values(cfg: GeneratorConfig, params: Dict[str, jnp.ndarray]):
     return params["J"], params["D"], params["S"]
 
 
+def param_values_np(cfg: GeneratorConfig, host_params):
+    """Host-NumPy twin of :func:`param_values` — for recorder paths that
+    must not dispatch device ops (one host sync per step; see
+    train/driver.py)."""
+    import numpy as np
+
+    if cfg.param_space == "log":
+        return tuple(np.exp(np.asarray(host_params[k]))
+                     for k in ("J", "D", "S"))
+    return tuple(np.asarray(host_params[k]) for k in ("J", "D", "S"))
+
+
 class GeneratorOutput(NamedTuple):
     """Forward-pass output.
 

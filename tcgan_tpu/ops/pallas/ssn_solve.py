@@ -411,6 +411,14 @@ def solve_fixed_point_pallas(
 
     grid = (n_tiles,)
     if layout == "t":
+        if two_phase or refine:
+            import warnings
+
+            warnings.warn(
+                "pallas layout 't' implements the single-phase HIGHEST "
+                "loop only; two_phase/refine are ignored for this layout",
+                stacklevel=2,
+            )
         C = block_b * s_pad
         It = jnp.tile(Ip.T, (1, block_b))  # (n_pad, C)
         kernel = functools.partial(

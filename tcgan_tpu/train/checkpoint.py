@@ -62,9 +62,19 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         if self._mgr is not None:
-            return self._mgr.restore(
-                step, args=ocp.args.StandardRestore(state_like)
-            )
+            try:
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(state_like)
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"checkpoint {step} under {self.directory} does not "
+                    "match the current TrainState structure — checkpoints "
+                    "written before an optimizer/state schema change (e.g. "
+                    "the apply_if_finite wrapper or ema_params field) "
+                    "cannot be resumed; restart the run or re-init from "
+                    "generator.csv/disc_params.npz"
+                ) from e
         flat, treedef = jax.tree_util.tree_flatten(state_like)  # pragma: no cover
         data = np.load(self.directory / f"ckpt_{step}.npz")  # pragma: no cover
         return jax.tree_util.tree_unflatten(  # pragma: no cover

@@ -81,8 +81,10 @@ class GANDriver:
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
         start = int(self.state.step)
         # Fold the starting step into the key so a checkpoint-resumed run
-        # CONTINUES the data/noise key stream instead of replaying keys
-        # from step 0 (resume reproducibility).
+        # draws FRESH data/noise keys instead of replaying the step-0..n
+        # sequence. (Note: resumed and uninterrupted runs still use
+        # different streams from the resume point — this prevents
+        # replay, it does not bit-reproduce an uninterrupted run.)
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
         try:
             for step in range(start, start + n_steps):
@@ -163,18 +165,14 @@ class GANDriver:
                 step, metrics.d_loss_iters, metrics.wasserstein_iters,
                 metrics.gp_iters, metrics.acc_iters,
             )
-        if self.model_cfg.gen.param_space == "log":
-            values = tuple(np.exp(gen_params[k]) for k in ("J", "D", "S"))
-        else:
-            values = tuple(gen_params[k] for k in ("J", "D", "S"))
-        self.recorders.record_generator(step, values)
+        self.recorders.record_generator(
+            step, gen_lib.param_values_np(self.model_cfg.gen, gen_params))
         self.recorders.record_disc_stats(step, {
             f"{k}.{s}": v
             for k, p in critic_params.items()
             for s, v in (("nnorm", float(np.linalg.norm(p.ravel()))),
                          ("absmax", float(np.max(np.abs(p)))))
         })
-        return metrics  # host copy, for divergence checks / callbacks
         if self.cfg.tc_mean_every and step % self.cfg.tc_mean_every == 0:
             if self._tc_mean_fn is None:
                 gen_cfg = self.model_cfg.gen
@@ -186,6 +184,7 @@ class GANDriver:
             tc_mean = self._tc_mean_fn(self.state.gen_params,
                                        jax.random.PRNGKey(step))
             self.recorders.record_tc_mean(step, np.asarray(tc_mean))
+        return metrics  # host copy, for divergence checks / callbacks
 
     def _measure_component_times(self):
         """Instrument the reference's SSsolve_time / gradient_time columns
@@ -261,7 +260,7 @@ class MomentMatchingDriver:
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
         start = int(self.state.step)
-        # As in GANDriver.run: continue the key stream across resume.
+        # As in GANDriver.run: fresh keys after resume (no replay).
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
         try:
             for step in range(start, start + n_steps):
@@ -282,13 +281,9 @@ class MomentMatchingDriver:
                 self._learning.record(row)
                 self._jsonl.record(row)
                 from tcgan_tpu.train.recorders import flatten_gen_params
-                if self.model_cfg.gen.param_space == "log":
-                    values = tuple(np.exp(gen_params[k])
-                                   for k in ("J", "D", "S"))
-                else:
-                    values = tuple(gen_params[k] for k in ("J", "D", "S"))
                 g = {"step": step}
-                g.update(flatten_gen_params(values))
+                g.update(flatten_gen_params(
+                    gen_lib.param_values_np(self.model_cfg.gen, gen_params)))
                 self._gen.record(g)
                 if float(m.frac_diverged) > self.cfg.divergence_abort:
                     self._div_streak += 1

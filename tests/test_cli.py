@@ -60,6 +60,10 @@ def test_gan_cli_end_to_end(tmp_path):
     assert rc == 0
     lines = (tmp_path / "g" / "learning.csv").read_text().strip().split("\n")
     assert len(lines) == 3
+    # the periodic mean-TC stream must actually record (step 0 qualifies)
+    tc_rows = (tmp_path / "g" / "tc_mean.jsonl").read_text().strip()
+    assert tc_rows, "tc_mean.jsonl empty — periodic TC snapshots lost"
+    assert len(json.loads(tc_rows.split("\n")[0])["tc_mean"]) == 2
     # generator.csv starts from the passed --J
     gen_first = (tmp_path / "g" / "generator.csv").read_text().split("\n")[1]
     assert abs(float(gen_first.split(",")[1]) - 0.02) < 1e-3
