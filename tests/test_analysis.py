@@ -94,3 +94,27 @@ def test_param_recovery_error_basics():
     t = {"J": np.eye(2)}
     assert param_recovery_error({"J": np.eye(2)}, t)["J"] < 1e-12
     assert abs(param_recovery_error({"J": 2 * np.eye(2)}, t)["J"] - 1.0) < 1e-12
+
+
+def test_fit_quality_cli(tmp_path, capsys):
+    """The one-page fit-quality figure renders from a run dir, reads truth
+    from info.json, and folds in eval TC samples when present."""
+    from tcgan_tpu.analysis import fit_quality
+
+    d = _fake_run(tmp_path, "fq", 0.05)
+    (d / "info.json").write_text(json.dumps({
+        "config": {"true_J": [0.05, 0.05, 0.05, 0.05],
+                   "true_D": None, "true_S": None, "dataset": None}}))
+    ev = tmp_path / "fq_eval"
+    ev.mkdir()
+    rng = np.random.default_rng(0)
+    np.savez(ev / "eval_tuning_curves.npz",
+             gen_tc=rng.normal(size=(100, 4)) + 1.0,
+             data_tc=rng.normal(size=(150, 4)) + 1.0)
+    rc = fit_quality.main([str(d), "--eval", str(ev),
+                           "-o", str(tmp_path / "fq.png")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert (tmp_path / "fq.png").exists()
+    assert out["param_recovery_error"]["J"] < 1e-9  # truth == fitted
+    assert np.isfinite(out["tc_w1"]) and np.isfinite(out["sliced_w1"])
