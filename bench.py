@@ -141,6 +141,67 @@ def main() -> int:
     rate_expo = B_TPU * S_cond / t_expo
     expo_conv = float(res_e.converged.mean())
 
+    # Sustained solver rate: marginal cost between two rep counts, each
+    # ending in one scalar device->host transfer — cancels dispatch
+    # latency and pipeline fill (BASELINE.md round-2 methodology note).
+    def _sustained():
+        def run(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(reps):
+                r = solve(W)
+            _ = float(r.r[0, 0, 0])
+            return time.perf_counter() - t0
+        t5, t20 = run(5), run(20)
+        return B_TPU * S_cond * 15 / max(t20 - t5, 1e-9)
+
+    try:
+        rate_sustained = _sustained()
+    except Exception:  # pragma: no cover
+        rate_sustained = float("nan")
+
+    # Full WGAN-GP step time (IFT gradients, Pallas forward) at the
+    # standard config — marginal cost, matching BASELINE.md's table.
+    def _wgan_step_ms():
+        import jax.numpy as jnp
+
+        from tcgan_tpu.models import generator as gen_lib
+        from tcgan_tpu.models import wgan as wgan_lib
+        from tcgan_tpu.models.generator import GeneratorConfig
+
+        gen_cfg = GeneratorConfig(
+            ssn=dataclasses.replace(cfg, backend="pallas",
+                                    pallas_block_b=16, check_every=32),
+            sample_sites=1, solver="ift",
+        )
+        wcfg = wgan_lib.WGANConfig(gen=gen_cfg, batch_size=32, n_critic=5,
+                                   n_critic0=5)
+        gp = gen_lib.init_params(gen_cfg, tuple(map(tuple, np.asarray(J))),
+                                 tuple(map(tuple, np.asarray(D))),
+                                 tuple(map(tuple, np.asarray(S))))
+        state = wgan_lib.init_state(wcfg, gen_init=gp)
+        k = jax.random.PRNGKey(0)
+        real = 0.1 * jax.random.normal(
+            k, (wcfg.n_critic, wcfg.critic_batch, gen_cfg.tc_dim)) + 1.0
+
+        def run(reps):
+            nonlocal state
+            t0 = time.perf_counter()
+            m = None
+            for i in range(reps):
+                state, m = wgan_lib.train_step(wcfg, wcfg.n_critic, state,
+                                               real, jax.random.PRNGKey(i))
+            _ = float(m.d_loss)
+            return time.perf_counter() - t0
+        run(1)  # compile
+        t3, t9 = run(3), run(9)
+        return (t9 - t3) / 6 * 1e3
+
+    try:
+        wgan_step_ms = _wgan_step_ms()
+    except Exception:  # pragma: no cover
+        wgan_step_ms = float("nan")
+
     # CPU baseline (reference-equivalent float64 OpenMP solver).
     if native.available():
         Wn = np.asarray(W[:B_CPU], dtype=np.float64)
@@ -184,6 +245,8 @@ def main() -> int:
                          "refinement tail, block_b=16, check_every=32)"),
             "stepper": "euler",
             "parity_checked": parity_checked,
+            "tpu_rate_sustained": round(rate_sustained, 1),
+            "wgan_step_ms": round(wgan_step_ms, 2),
             "tpu_rate_expo_stepper": round(rate_expo, 1),
             "expo_frac_converged": round(expo_conv, 4),
         },

@@ -69,6 +69,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="optional dir to write eval artifacts")
     p.add_argument("--eval-samples", type=int, default=256,
                    help="generated circuits for the comparison")
+    p.add_argument("--params-source", choices=("csv", "npz", "npz_ema"),
+                   default="csv",
+                   help="fitted params: final generator.csv row (csv), the "
+                        "disc_params.npz export (npz), or its EMA-averaged "
+                        "J_ema/D_ema/S_ema entries (npz_ema; requires a run "
+                        "trained with --gen-ema)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
                    default="float32")
@@ -88,7 +94,21 @@ def main(argv=None):
 
     gen_cfg = common.generator_config_from_args(args, solver="ift")
     rec = load_run(args.run)
-    fitted = rec.final_gen_params()  # {"J","D","S"} 2x2 value-space
+    if args.params_source == "csv":
+        fitted = rec.final_gen_params()  # {"J","D","S"} 2x2 value-space
+    else:
+        import pathlib
+
+        npz = np.load(pathlib.Path(args.run) / "disc_params.npz")
+        suffix = "_ema" if args.params_source == "npz_ema" else ""
+        missing = [f"{n}{suffix}" for n in "JDS"
+                   if f"{n}{suffix}" not in npz.files]
+        if missing:
+            raise SystemExit(
+                f"disc_params.npz lacks {missing} — run with --gen-ema to "
+                "export EMA params" if suffix else
+                f"disc_params.npz lacks {missing}")
+        fitted = {n: np.asarray(npz[f"{n}{suffix}"]) for n in "JDS"}
     params = gen_lib.init_params(
         gen_cfg, tuple(map(tuple, fitted["J"])),
         tuple(map(tuple, fitted["D"])), tuple(map(tuple, fitted["S"])),
