@@ -62,6 +62,10 @@ class GeneratorConfig:
     # of W (tensor parallel, large-N), or None for unconstrained.
     mesh_axis: str | None = None
     model_axis: str | None = None
+    # Antithetic quenched noise: sample batch/2 z-draws and use (+z, -z)
+    # pairs — the pair-mean of any odd-in-z statistic vanishes exactly, so
+    # generator-gradient variance drops without extra solver cost.
+    antithetic: bool = False
 
     @property
     def n_stim(self) -> int:
@@ -172,7 +176,14 @@ def sample_tuning_curves(
     """
     J, D, S = param_values(cfg, params)
     x = cfg.ssn.site_pos(dtype=cfg.dtype)
-    z = weights.sample_z(key, (batch,), cfg.ssn.N, dtype=cfg.dtype)
+    if cfg.antithetic:
+        if batch % 2:
+            raise ValueError("antithetic sampling needs an even batch")
+        z_half = weights.sample_z(key, (batch // 2,), cfg.ssn.N,
+                                  dtype=cfg.dtype)
+        z = jnp.concatenate([z_half, -z_half], axis=0)
+    else:
+        z = weights.sample_z(key, (batch,), cfg.ssn.N, dtype=cfg.dtype)
     if cfg.mesh_axis or cfg.model_axis:
         # Steer jit's auto-partitioning: batch axis -> data-parallel shards,
         # optional 2N axis -> tensor-parallel shards (riding ICI).

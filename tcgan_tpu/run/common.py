@@ -101,6 +101,10 @@ def add_stimulus_flags(p: argparse.ArgumentParser):
                         "treating each site as an independent sample")
     g.add_argument("--include-inhibitory-neurons", action="store_true",
                    help="also read out I cells at the probe sites")
+    g.add_argument("--antithetic", action="store_true",
+                   help="antithetic (+z, -z) quenched-noise pairs: halves "
+                        "generator-gradient variance at no solver cost "
+                        "(requires even --batch-size)")
 
 
 def add_gan_flags(p: argparse.ArgumentParser):
@@ -199,6 +203,7 @@ def generator_config_from_args(args, solver: str) -> GeneratorConfig:
         sample_sites=args.sample_sites,
         track_offset_identity=args.track_offset_identity,
         include_inhibitory_neurons=args.include_inhibitory_neurons,
+        antithetic=getattr(args, "antithetic", False),
         solver=solver,
         dtype=dtype,
     )

