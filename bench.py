@@ -144,6 +144,10 @@ def main() -> int:
     # Sustained solver rate: marginal cost between two rep counts, each
     # ending in one scalar device->host transfer — cancels dispatch
     # latency and pipeline fill (BASELINE.md round-2 methodology note).
+    # The tunnel's RTT jitter can make a single (t_hi - t_lo) difference
+    # non-positive; take the median of several trials and report NaN if
+    # the result is implausible (the marginal rate can legitimately exceed
+    # the block-until-ready headline, but not by 3x).
     def _sustained():
         def run(reps):
             t0 = time.perf_counter()
@@ -152,8 +156,13 @@ def main() -> int:
                 r = solve(W)
             _ = float(r.r[0, 0, 0])
             return time.perf_counter() - t0
-        t5, t20 = run(5), run(20)
-        return B_TPU * S_cond * 15 / max(t20 - t5, 1e-9)
+        run(2)  # warm the dispatch path
+        diffs = sorted(run(20) - run(5) for _ in range(3))
+        dt = diffs[1]
+        if dt <= 0:
+            return float("nan")
+        rate = B_TPU * S_cond * 15 / dt
+        return rate if rate < 3.0 * rate_tpu else float("nan")
 
     try:
         rate_sustained = _sustained()
