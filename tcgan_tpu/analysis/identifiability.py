@@ -1,0 +1,296 @@
+"""Parameter-identifiability analysis via the moment Jacobian.
+
+Round-2 fits (BASELINE.md) hit a J/D ridge: tuning-curve W1 dropped to
+sub-percent of signal while J stayed ~30% off. This module makes that
+quantitative and actionable:
+
+- :func:`moment_jacobian` — d(TC moments)/d(log theta) through the full
+  generator forward (weight build + fixed-point solve + probe readout),
+  computed with JAX reverse-mode autodiff through the IFT solver. The
+  reference has no equivalent; Theano-era code could not differentiate
+  through its native solver, so identifiability there was a matter of
+  trial-and-error fits.
+- :func:`identifiability_report` — SVD of the Jacobian: singular values,
+  the flattest parameter-space direction (the ridge), and per-parameter
+  sensitivities. Because theta is log-space, directions read as relative
+  (percentage) parameter changes.
+- :func:`battery_score` / the CLI — compare stimulus batteries / readout
+  configurations by E-optimality (smallest singular value): pick the
+  battery that best identifies all 12 circuit parameters BEFORE burning
+  hours on a fit.
+- :func:`mean_rectified_strength` / :func:`dale_ridge_direction` — the
+  closed-form Dale-ensemble statistics behind the observed ridge:
+  E[relu(J + D z)] = J Phi(J/D) + D phi(J/D), whose level sets are the
+  (J, D) directions that circuit-averaged rates are nearly blind to
+  (BASELINE.md "The J/D ridge" analysis).
+
+Reference parity: extends the analyzers layer (SURVEY.md §2 "Analyzers /
+loaders") with a capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+PARAM_NAMES = tuple(
+    f"{blk}_{post}{pre}"
+    for blk in ("J", "D", "S")
+    for post in ("E", "I")
+    for pre in ("E", "I")
+)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form Dale-ensemble statistics (the analytic ridge)
+# ---------------------------------------------------------------------------
+
+def _phi(x):
+    return np.exp(-0.5 * x**2) / np.sqrt(2.0 * np.pi)
+
+
+def _Phi(x):
+    from math import erf
+
+    x = np.asarray(x, dtype=np.float64)
+    return 0.5 * (1.0 + np.vectorize(erf)(x / np.sqrt(2.0)))
+
+
+def mean_rectified_strength(J, D):
+    """E[relu(J + D z)], z ~ N(0,1) — the mean synaptic strength of the
+    Dale-rectified ensemble, elementwise over the 2x2 blocks."""
+    J = np.asarray(J, dtype=np.float64)
+    D = np.asarray(D, dtype=np.float64)
+    a = J / D
+    return J * _Phi(a) + D * _phi(a)
+
+
+def var_rectified_strength(J, D):
+    """Var[relu(J + D z)] elementwise over the 2x2 blocks."""
+    J = np.asarray(J, dtype=np.float64)
+    D = np.asarray(D, dtype=np.float64)
+    a = J / D
+    second = (J**2 + D**2) * _Phi(a) + J * D * _phi(a)
+    m = mean_rectified_strength(J, D)
+    return second - m**2
+
+
+def dale_ridge_direction(J, D):
+    """Unit direction in (dlogJ, dlogD) that preserves the mean rectified
+    strength (elementwise): the analytic null direction of circuit-averaged
+    observables. Uses d/dJ E[relu(J+Dz)] = Phi(J/D), d/dD = phi(J/D)."""
+    J = np.asarray(J, dtype=np.float64)
+    D = np.asarray(D, dtype=np.float64)
+    a = J / D
+    # gradient w.r.t. (logJ, logD) = (J*Phi(a), D*phi(a)); null direction
+    # rotates it by 90 degrees.
+    gJ, gD = J * _Phi(a), D * _phi(a)
+    d = np.stack([gD, -gJ], axis=0)
+    return d / np.linalg.norm(d, axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Numeric moment Jacobian through the generator forward
+# ---------------------------------------------------------------------------
+
+def moment_fn(gen_cfg, theta_log, z):
+    """TC moment vector (means then stds per feature) for log-params
+    ``theta_log`` (12,) under FIXED quenched noise ``z`` (common random
+    numbers keep the Jacobian deterministic)."""
+    import jax.numpy as jnp
+
+    from tcgan_tpu.models import generator as gen_lib
+    from tcgan_tpu.ops import euler, ift, weights
+
+    J = jnp.exp(theta_log[0:4].reshape(2, 2))
+    D = jnp.exp(theta_log[4:8].reshape(2, 2))
+    S = jnp.exp(theta_log[8:12].reshape(2, 2))
+    x = gen_cfg.ssn.site_pos(dtype=gen_cfg.dtype)
+    W = weights.build_weight(J, D, S, z, x)
+    I_ext = gen_cfg.stimulus_battery()
+    if gen_cfg.solver == "bptt":
+        res = euler.solve_dynamics(
+            gen_cfg.ssn, W, I_ext,
+            checkpoint_chunk=gen_cfg.bptt_checkpoint_chunk or None)
+    else:
+        res = ift.solve_fixed_point_implicit(
+            gen_cfg.ssn, W, I_ext, grad_method=gen_cfg.grad_method)
+    probes = gen_cfg.probe_indices()
+    tc = res.r[..., probes]  # (B, S, P)
+    B = z.shape[0]
+    # Per-feature convergence mask: a feature is (stimulus, probe), so a
+    # circuit whose contrast-20 stimulus diverges still contributes its
+    # converged conditions (all-or-nothing masking zeroes entire batteries
+    # that contain one hostile condition). The flags are
+    # non-differentiable bookkeeping — stop_gradient keeps jacrev from
+    # tracing through them.
+    import jax
+
+    conv = jax.lax.stop_gradient(res.converged).astype(tc.dtype)  # (B, S)
+    w = jnp.broadcast_to(conv[..., None], tc.shape)  # (B, S, P)
+    if gen_cfg.track_offset_identity:
+        tc = tc.reshape(B, -1)
+        w = w.reshape(B, -1)
+    else:
+        tc = jnp.swapaxes(tc, -1, -2).reshape(B * gen_cfg.n_probe,
+                                              gen_cfg.n_stim)
+        w = jnp.swapaxes(w, -1, -2).reshape(B * gen_cfg.n_probe,
+                                            gen_cfg.n_stim)
+    n = jnp.maximum(w.sum(axis=0), 1.0)
+    mean = (tc * w).sum(axis=0) / n
+    var = ((tc - mean) ** 2 * w).sum(axis=0) / n
+    return jnp.concatenate([mean, jnp.sqrt(var + 1e-12)])
+
+
+def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0):
+    """Jacobian of the TC moment vector w.r.t. log(J, D, S) (M x 12).
+
+    Reverse-mode (jacrev) — forward-mode cannot cross the IFT custom_vjp.
+    Returns (jacobian, moments) as host NumPy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tcgan_tpu.ops import weights as weights_lib
+
+    theta = jnp.concatenate([
+        jnp.log(jnp.asarray(p, dtype=gen_cfg.dtype).reshape(-1))
+        for p in (J, D, S)
+    ])
+    z = weights_lib.sample_z(jax.random.PRNGKey(seed), (n_circuits,),
+                             gen_cfg.ssn.N, dtype=gen_cfg.dtype)
+    fn = lambda t: moment_fn(gen_cfg, t, z)
+    moments = jax.jit(fn)(theta)
+    jac = jax.jit(jax.jacrev(fn))(theta)
+    return np.asarray(jac, dtype=np.float64), np.asarray(moments,
+                                                         dtype=np.float64)
+
+
+def convergence_fraction(gen_cfg, J, D, S, n_circuits: int = 64,
+                         seed: int = 0) -> float:
+    """Fraction of (circuit, stimulus) solves that converge — a battery
+    with hostile conditions (divergent high contrasts) scores low."""
+    import jax
+
+    from tcgan_tpu.models import generator as gen_lib
+
+    params = gen_lib.init_params(gen_cfg, J, D, S)
+    out = gen_lib.sample_tuning_curves(gen_cfg, params,
+                                       jax.random.PRNGKey(seed), n_circuits)
+    return float(np.asarray(out.converged).mean())
+
+
+def identifiability_report(jac: np.ndarray,
+                           param_names: Sequence[str] = PARAM_NAMES) -> Dict:
+    """SVD-based report: singular spectrum, ridge direction, sensitivities.
+
+    ``jac`` rows are moments, columns are log-params; singular values have
+    units of [rate change per 100% relative param change].
+    """
+    jac = np.asarray(jac, dtype=np.float64)
+    u, s, vt = np.linalg.svd(jac, full_matrices=False)
+    ridge = vt[-1]
+    # sign convention: largest-|.| component positive
+    ridge = ridge * np.sign(ridge[np.argmax(np.abs(ridge))])
+    sens = np.linalg.norm(jac, axis=0)
+    return {
+        "singular_values": s.tolist(),
+        "condition_number": float(s[0] / max(s[-1], 1e-300)),
+        "sigma_min": float(s[-1]),
+        "ridge_direction": {n: float(v)
+                            for n, v in zip(param_names, ridge)},
+        "param_sensitivity": {n: float(v)
+                              for n, v in zip(param_names, sens)},
+    }
+
+
+def battery_score(gen_cfg, J, D, S, n_circuits: int = 256,
+                  seed: int = 0) -> Dict:
+    """E-/D-optimality scores for a stimulus battery + readout config."""
+    jac, moments = moment_jacobian(gen_cfg, J, D, S, n_circuits, seed)
+    rep = identifiability_report(jac)
+    s = np.maximum(np.asarray(rep["singular_values"]), 1e-300)
+    rep["d_opt_log10"] = float(np.sum(np.log10(s)))  # log10 det(J^T J)^0.5
+    rep["n_moments"] = int(jac.shape[0])
+    rep["moment_scale"] = float(np.abs(moments).mean())
+    rep["frac_converged"] = convergence_fraction(gen_cfg, J, D, S,
+                                                 seed=seed)
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def make_parser():
+    import argparse
+
+    from tcgan_tpu.run import common
+
+    p = argparse.ArgumentParser(
+        description="Identifiability analysis: moment-Jacobian SVD per "
+        "candidate stimulus battery (evaluated at --J/--D/--S)")
+    common.add_ssn_flags(p)
+    common.add_stimulus_flags(p)
+    p.add_argument("--dtype", choices=("float32", "float64"),
+                   default="float32")
+    p.add_argument("--n-circuits", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--contrast-sets", type=str, default=None,
+        help="semicolon-separated candidate contrast lists, e.g. "
+        "'10;5,10;2.5,5,10,20,40' — scores each against the base "
+        "bandwidths/readout; default scores only the configured battery")
+    p.add_argument("--output", type=str, default=None,
+                   help="write the JSON report here as well as stdout")
+    return p
+
+
+def main(argv=None) -> int:
+    from tcgan_tpu.run import common
+
+    args = make_parser().parse_args(argv)
+    gen_cfg = common.generator_config_from_args(args, solver="ift")
+    J, D, S = common.as22(args.J), common.as22(args.D), common.as22(args.S)
+
+    sets: list[Tuple[float, ...]]
+    if args.contrast_sets:
+        sets = [tuple(float(c) for c in s.split(","))
+                for s in args.contrast_sets.split(";")]
+    else:
+        sets = [tuple(gen_cfg.contrasts)]
+
+    out = {"params": {"J": np.asarray(J).tolist(),
+                      "D": np.asarray(D).tolist(),
+                      "S": np.asarray(S).tolist()},
+           "bandwidths": list(gen_cfg.bandwidths),
+           "analytic_dale_ridge": {
+               "mean_strength": mean_rectified_strength(J, D).tolist(),
+               "ridge_dlogJ_dlogD": dale_ridge_direction(J, D).tolist(),
+           },
+           "batteries": []}
+    for contrasts in sets:
+        cfg_c = dataclasses.replace(gen_cfg, contrasts=contrasts)
+        rep = battery_score(cfg_c, J, D, S, n_circuits=args.n_circuits,
+                            seed=args.seed)
+        rep["contrasts"] = list(contrasts)
+        out["batteries"].append(rep)
+        print(f"contrasts={contrasts}: sigma_min={rep['sigma_min']:.3e} "
+              f"cond={rep['condition_number']:.1f} "
+              f"d_opt_log10={rep['d_opt_log10']:.2f}", flush=True)
+
+    text = json.dumps(out, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Identifiability analysis: closed-form Dale-ensemble statistics vs Monte
+Carlo, moment-Jacobian correctness vs finite differences, and the CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tcgan_tpu.analysis import identifiability as ident
+
+
+def test_mean_and_var_rectified_strength_match_monte_carlo(rng):
+    J = np.array([[0.045, 0.040], [0.050, 0.035]])
+    D = np.array([[0.10, 0.08], [0.10, 0.08]])
+    z = rng.normal(size=(200000, 1, 1))
+    samp = np.maximum(J + D * z, 0.0)
+    np.testing.assert_allclose(
+        ident.mean_rectified_strength(J, D), samp.mean(axis=0), rtol=2e-2)
+    np.testing.assert_allclose(
+        ident.var_rectified_strength(J, D), samp.var(axis=0), rtol=5e-2)
+
+
+def test_dale_ridge_direction_preserves_mean_strength():
+    J, D = 0.045, 0.10
+    d = ident.dale_ridge_direction(J, D)  # (dlogJ, dlogD)
+    eps = 1e-4
+    J2 = J * np.exp(eps * d[0])
+    D2 = D * np.exp(eps * d[1])
+    m0 = ident.mean_rectified_strength(J, D)
+    m1 = ident.mean_rectified_strength(J2, D2)
+    # first-order invariant along the ridge; a generic direction moves the
+    # mean by O(eps * m0)
+    assert abs(m1 - m0) < 1e-3 * eps * m0
+    m_gen = ident.mean_rectified_strength(J * np.exp(eps), D)
+    assert abs(m_gen - m0) > 0.3 * eps * m0
+
+
+def _tiny_cfg():
+    import jax.numpy as jnp
+
+    from tcgan_tpu.models.generator import GeneratorConfig
+    from tcgan_tpu.ops.ssn import SSNConfig
+
+    return GeneratorConfig(
+        ssn=SSNConfig(N=8, max_iter=4000, atol=1e-8, dt=0.001),
+        bandwidths=(0.25, 1.0),
+        contrasts=(5.0,),
+        sample_sites=1,
+        solver="ift",
+        dtype=jnp.float64,  # FD check needs f64 headroom at atol=1e-8
+    )
+
+
+TRUE_J = ((0.045, 0.040), (0.050, 0.035))
+TRUE_D = ((0.10, 0.08), (0.10, 0.08))
+TRUE_S = ((0.25, 0.10), (0.25, 0.10))
+
+
+def test_moment_jacobian_matches_finite_differences():
+    import jax.numpy as jnp
+
+    cfg = _tiny_cfg()
+    jac, moments = ident.moment_jacobian(cfg, TRUE_J, TRUE_D, TRUE_S,
+                                         n_circuits=16, seed=0)
+    assert jac.shape == (2 * len(moments) // 2, 12)
+    assert np.all(np.isfinite(jac)) and np.any(jac != 0.0)
+
+    # finite-difference check along two coordinate directions
+    import jax
+
+    from tcgan_tpu.ops import weights as weights_lib
+
+    theta = np.concatenate([np.log(np.asarray(p).reshape(-1))
+                            for p in (TRUE_J, TRUE_D, TRUE_S)])
+    z = weights_lib.sample_z(jax.random.PRNGKey(0), (16,), cfg.ssn.N,
+                             dtype=cfg.dtype)
+    fn = jax.jit(lambda t: ident.moment_fn(cfg, t, z))
+    eps = 1e-4
+    for idx in (0, 5):
+        e = np.zeros(12)
+        e[idx] = eps
+        fd = (np.asarray(fn(jnp.asarray(theta + e)))
+              - np.asarray(fn(jnp.asarray(theta - e)))) / (2 * eps)
+        np.testing.assert_allclose(jac[:, idx], fd, rtol=2e-3, atol=1e-7)
+
+
+def test_identifiability_report_finds_planted_null_direction():
+    # A synthetic Jacobian with a known null direction must be recovered.
+    rng = np.random.default_rng(1)
+    basis = rng.normal(size=(12, 12))
+    q, _ = np.linalg.qr(basis)
+    null = q[:, -1]
+    rows = rng.normal(size=(40, 11)) @ q[:, :-1].T  # spans the complement
+    rep = ident.identifiability_report(rows)
+    got = np.array([rep["ridge_direction"][n] for n in ident.PARAM_NAMES])
+    assert abs(np.dot(got, null)) > 0.999
+    assert rep["sigma_min"] < 1e-10 * rep["singular_values"][0]
+
+
+def test_identifiability_cli(tmp_path, capsys):
+    out = tmp_path / "ident.json"
+    rc = ident.main([
+        "--N", "8", "--max-iter", "4000", "--atol", "1e-8", "--dt", "0.001",
+        "--dtype", "float64",
+        "--bandwidths", "0.25", "1.0", "--contrasts", "5.0",
+        "--J", "0.045", "0.04", "0.05", "0.035",
+        "--D", "0.1", "0.08", "0.1", "0.08",
+        "--S", "0.25", "0.1", "0.25", "0.1",
+        "--n-circuits", "8",
+        "--contrast-sets", "5;2.5,5,10",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert len(rep["batteries"]) == 2
+    b0, b1 = rep["batteries"]
+    for b in (b0, b1):
+        assert np.isfinite(b["sigma_min"]) and b["sigma_min"] > 0
+    # singular count = min(n_moments, 12): 2bw x 1c -> 4 moments; x 3c -> 12
+    assert len(b0["singular_values"]) == 4
+    assert len(b1["singular_values"]) == 12
+    # richer battery: full 12-dim spectrum with a genuine spread
+    assert b1["singular_values"][0] > b1["sigma_min"] > 0
+    assert rep["analytic_dale_ridge"]["mean_strength"][0][0] > 0
