@@ -221,6 +221,53 @@ def battery_score(gen_cfg, J, D, S, n_circuits: int = 256,
     return rep
 
 
+def subspace_errors(jac: np.ndarray, fitted: Dict[str, np.ndarray],
+                    true: Dict[str, np.ndarray],
+                    sv_rel_threshold: float = 1e-3) -> Dict:
+    """Decompose a fit's parameter error into the moment-Jacobian's singular
+    basis: the honest recovery metric when some directions are provably
+    unidentifiable (BASELINE.md "The J/D ridge").
+
+    The raw per-block error mixes identifiable misfit with drift along flat
+    directions the data cannot constrain. This splits
+    ``dtheta = log(fitted) - log(true)`` into components along each right
+    singular vector and reports:
+
+    - ``identifiable_error``: RMS relative error restricted to directions
+      with singular value >= ``sv_rel_threshold * sv_max`` — what the fit
+      can be held accountable for;
+    - ``unidentifiable_error``: the remainder (flat directions);
+    - per-direction components with their singular values.
+    """
+    jac = np.asarray(jac, dtype=np.float64)
+    _, s, vt = np.linalg.svd(jac, full_matrices=True)
+    s_full = np.zeros(vt.shape[0])
+    s_full[: len(s)] = s
+    dtheta = np.concatenate([
+        np.log(np.asarray(fitted[k], dtype=np.float64).reshape(-1))
+        - np.log(np.asarray(true[k], dtype=np.float64).reshape(-1))
+        for k in ("J", "D", "S")
+    ])
+    comps = vt @ dtheta
+    ident_mask = s_full >= sv_rel_threshold * max(s_full.max(), 1e-300)
+    n_ident = max(int(ident_mask.sum()), 1)
+    n_flat = max(int((~ident_mask).sum()), 1)
+    return {
+        "identifiable_error": float(
+            np.sqrt((comps[ident_mask] ** 2).sum() / n_ident)),
+        "unidentifiable_error": float(
+            np.sqrt((comps[~ident_mask] ** 2).sum() / n_flat)),
+        "n_identifiable": int(ident_mask.sum()),
+        "raw_error": float(np.sqrt((dtheta**2).mean())),
+        "components": [
+            {"singular_value": float(sv), "component": float(c),
+             "direction": {n: float(v)
+                           for n, v in zip(PARAM_NAMES, vt[i])}}
+            for i, (sv, c) in enumerate(zip(s_full, comps))
+        ],
+    }
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -244,6 +291,12 @@ def make_parser():
         help="semicolon-separated candidate contrast lists, e.g. "
         "'10;5,10;2.5,5,10,20,40' — scores each against the base "
         "bandwidths/readout; default scores only the configured battery")
+    p.add_argument("--fitted-J", type=float, nargs=4, default=None,
+                   help="with --fitted-D/--fitted-S: decompose this fit's "
+                   "error into identifiable vs flat directions (evaluated "
+                   "against --J/--D/--S as truth, on the FIRST battery)")
+    p.add_argument("--fitted-D", type=float, nargs=4, default=None)
+    p.add_argument("--fitted-S", type=float, nargs=4, default=None)
     p.add_argument("--output", type=str, default=None,
                    help="write the JSON report here as well as stdout")
     return p
@@ -272,15 +325,31 @@ def main(argv=None) -> int:
                "ridge_dlogJ_dlogD": dale_ridge_direction(J, D).tolist(),
            },
            "batteries": []}
-    for contrasts in sets:
+    for i, contrasts in enumerate(sets):
         cfg_c = dataclasses.replace(gen_cfg, contrasts=contrasts)
-        rep = battery_score(cfg_c, J, D, S, n_circuits=args.n_circuits,
-                            seed=args.seed)
+        jac, moments = moment_jacobian(cfg_c, J, D, S,
+                                       n_circuits=args.n_circuits,
+                                       seed=args.seed)
+        rep = identifiability_report(jac)
+        s = np.maximum(np.asarray(rep["singular_values"]), 1e-300)
+        rep["d_opt_log10"] = float(np.sum(np.log10(s)))
+        rep["n_moments"] = int(jac.shape[0])
+        rep["moment_scale"] = float(np.abs(moments).mean())
+        rep["frac_converged"] = convergence_fraction(cfg_c, J, D, S,
+                                                     seed=args.seed)
         rep["contrasts"] = list(contrasts)
+        if i == 0 and args.fitted_J and args.fitted_D and args.fitted_S:
+            rep["fit_decomposition"] = subspace_errors(
+                jac,
+                {"J": common.as22(args.fitted_J),
+                 "D": common.as22(args.fitted_D),
+                 "S": common.as22(args.fitted_S)},
+                {"J": J, "D": D, "S": S})
         out["batteries"].append(rep)
         print(f"contrasts={contrasts}: sigma_min={rep['sigma_min']:.3e} "
               f"cond={rep['condition_number']:.1f} "
-              f"d_opt_log10={rep['d_opt_log10']:.2f}", flush=True)
+              f"d_opt_log10={rep['d_opt_log10']:.2f} "
+              f"frac_converged={rep['frac_converged']:.3f}", flush=True)
 
     text = json.dumps(out, indent=2)
     if args.output:

@@ -108,6 +108,9 @@ def test_identifiability_cli(tmp_path, capsys):
         "--S", "0.25", "0.1", "0.25", "0.1",
         "--n-circuits", "8",
         "--contrast-sets", "5;2.5,5,10",
+        "--fitted-J", "0.05", "0.04", "0.05", "0.035",
+        "--fitted-D", "0.09", "0.08", "0.1", "0.08",
+        "--fitted-S", "0.25", "0.1", "0.25", "0.1",
         "--output", str(out),
     ])
     assert rc == 0
@@ -122,3 +125,29 @@ def test_identifiability_cli(tmp_path, capsys):
     # richer battery: full 12-dim spectrum with a genuine spread
     assert b1["singular_values"][0] > b1["sigma_min"] > 0
     assert rep["analytic_dale_ridge"]["mean_strength"][0][0] > 0
+    dec = b0["fit_decomposition"]
+    assert np.isfinite(dec["identifiable_error"])
+    assert dec["raw_error"] > 0 and len(dec["components"]) == 12
+
+
+def test_subspace_errors_separates_ridge_from_identifiable():
+    # Jacobian with a planted flat direction: error along it must land in
+    # unidentifiable_error, error along a strong direction in identifiable.
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+    flat, strong = q[:, -1], q[:, 0]
+    jac = rng.normal(size=(30, 11)) @ q[:, :-1].T
+
+    theta_true = np.log(np.full(12, 0.1))
+    for direction, key in ((flat, "unidentifiable_error"),
+                           (strong, "identifiable_error")):
+        theta_fit = theta_true + 0.3 * direction
+        blocks_t = {k: np.exp(theta_true[i * 4:(i + 1) * 4]).reshape(2, 2)
+                    for i, k in enumerate(("J", "D", "S"))}
+        blocks_f = {k: np.exp(theta_fit[i * 4:(i + 1) * 4]).reshape(2, 2)
+                    for i, k in enumerate(("J", "D", "S"))}
+        dec = ident.subspace_errors(jac, blocks_f, blocks_t)
+        other = ("identifiable_error" if key == "unidentifiable_error"
+                 else "unidentifiable_error")
+        assert dec[key] > 10 * dec[other], (key, dec)
+        assert dec["raw_error"] == pytest.approx(0.3 / np.sqrt(12), rel=1e-6)
