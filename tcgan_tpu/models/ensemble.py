@@ -1,0 +1,118 @@
+"""Ensemble (multi-start) GAN fitting: K independent WGAN fits in ONE
+jitted program via ``jax.vmap`` over the train state.
+
+Why this exists, and why it is TPU-native: the SSN generator is tiny (12
+parameters) and a single fit under-utilizes a chip at small batch. ``vmap``
+over K member states batches every solver call and critic matmul K-fold —
+one compiled program, no host loop over members — so multi-start fitting
+(the standard defense against GAN seed variance and the identifiability
+ridges documented in BASELINE.md) costs roughly one fit's wall-clock at
+K-fold batch. The reference (one Theano process per fit, SURVEY.md §1 "no
+scheduler") ran multi-start as shell-level job arrays.
+
+Each member gets independent: generator start (optionally jittered in
+log-parameter space), critic init, real-data minibatches, and z-noise
+streams. Members share the static config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models import wgan as wgan_lib
+from tcgan_tpu.models.wgan import TrainState, WGANConfig
+
+
+def init_ensemble(
+    cfg: WGANConfig,
+    n_members: int,
+    key: jax.Array,
+    gen_init: Dict[str, jnp.ndarray] | None = None,
+    start_jitter: float = 0.0,
+) -> TrainState:
+    """TrainState with a leading member axis on every leaf.
+
+    gen_init: shared starting point (unconstrained space); defaults to the
+    config's params. start_jitter: stddev of log-space N(0, jitter^2) noise
+    added per member (member 0 keeps the exact start).
+    """
+    k_members = jax.random.split(key, n_members)
+
+    def init_one(k):
+        kj, kc = jax.random.split(k)
+        gp = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+        if start_jitter > 0.0:
+            leaves, treedef = jax.tree.flatten(gp)
+            ks = jax.random.split(kj, len(leaves))
+            leaves = [
+                p + start_jitter * jax.random.normal(kk, p.shape, p.dtype)
+                for p, kk in zip(leaves, ks)
+            ]
+            gp = jax.tree.unflatten(treedef, leaves)
+        return wgan_lib.init_state(cfg, key=kc, gen_init=gp)
+
+    states = jax.vmap(init_one)(k_members)
+    if start_jitter > 0.0:
+        # member 0 keeps the exact requested start
+        base = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+        gp0 = jax.tree.map(
+            lambda stacked, b: stacked.at[0].set(b), states.gen_params, base
+        )
+        states = states._replace(gen_params=gp0)
+    return states
+
+
+def ensemble_train_step_impl(
+    cfg: WGANConfig,
+    n_critic: int,
+    states: TrainState,  # member-stacked
+    real_stacks: jnp.ndarray,  # (K, n_critic, critic_batch, tc_dim)
+    keys: jax.Array,  # (K, 2) PRNG keys, one per member
+) -> Tuple[TrainState, wgan_lib.StepMetrics]:
+    return jax.vmap(
+        wgan_lib.train_step_impl, in_axes=(None, None, 0, 0, 0)
+    )(cfg, n_critic, states, real_stacks, keys)
+
+
+ensemble_train_step = jax.jit(
+    ensemble_train_step_impl, static_argnames=("cfg", "n_critic")
+)
+
+
+def member_params(cfg: WGANConfig, states: TrainState, member: int):
+    """Positive-space (J, D, S) of one member (host NumPy)."""
+    import numpy as np
+
+    host = jax.tree.map(lambda a: np.asarray(a[member]), states.gen_params)
+    return gen_lib.param_values_np(cfg.gen, host)
+
+
+def ensemble_summary(cfg: WGANConfig, states: TrainState,
+                     true_params: Dict | None = None) -> Dict:
+    """Across-member parameter statistics (+ per-member recovery errors
+    when truth is known) — the multi-start consistency check."""
+    import numpy as np
+
+    from tcgan_tpu.analysis.metrics import param_recovery_error
+
+    K = int(jax.tree.leaves(states.gen_params)[0].shape[0])
+    members = []
+    for m in range(K):
+        J, D, S = member_params(cfg, states, m)
+        row = {"J": np.asarray(J).tolist(), "D": np.asarray(D).tolist(),
+               "S": np.asarray(S).tolist()}
+        if true_params is not None:
+            row["recovery_error"] = param_recovery_error(
+                {"J": J, "D": D, "S": S}, true_params)
+        members.append(row)
+    stack = {k: np.asarray([m[k] for m in members]) for k in ("J", "D", "S")}
+    return {
+        "n_members": K,
+        "members": members,
+        "mean": {k: v.mean(axis=0).tolist() for k, v in stack.items()},
+        "std": {k: v.std(axis=0).tolist() for k, v in stack.items()},
+    }

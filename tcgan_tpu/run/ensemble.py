@@ -1,0 +1,195 @@
+"""Ensemble (multi-start) WGAN fitting CLI — K independent fits in one
+jitted program (``tcgan_tpu.models.ensemble``).
+
+The reference ran multi-start as shell job arrays (one Theano process per
+fit); here ``vmap`` batches K member fits onto one chip, so seed/start
+robustness checks cost roughly one fit's wall-clock. Usage::
+
+    python -m tcgan_tpu.run.ensemble --datastore runs/ens \\
+        --ensemble 8 --start-jitter 0.1 --batch-size 64 [gan flags...]
+
+Artifacts: ``ensemble.csv`` (per-member learning + parameter trajectory),
+``ensemble_params.npz`` (final stacked J/D/S [+ EMA]),
+``ensemble_summary.json`` (across-member mean/std + per-member recovery
+errors when truth is known), orbax checkpoints of the stacked state.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def make_parser():
+    from tcgan_tpu.run.gan_common import make_gan_parser
+
+    p = make_gan_parser(__doc__)
+    g = p.add_argument_group("ensemble")
+    g.add_argument("--ensemble", type=int, default=4,
+                   help="number of member fits run in one program")
+    g.add_argument("--start-jitter", type=float, default=0.0,
+                   help="log-space stddev of per-member start perturbation "
+                        "(member 0 keeps the exact --J/--D/--S start)")
+    g.add_argument("--record-every", type=int, default=10,
+                   help="write ensemble.csv rows every k steps")
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+
+    import numpy as np
+
+    import jax
+
+    from tcgan_tpu.models import ensemble as ens_lib
+    from tcgan_tpu.models import generator as gen_lib
+    from tcgan_tpu.models import wgan as wgan_lib
+    from tcgan_tpu.run import common
+    from tcgan_tpu.train.checkpoint import CheckpointManager
+    from tcgan_tpu.train.datastore import (DataStore,
+                                           PervasiveDivergenceError)
+    from tcgan_tpu.train.recorders import CSVRecorder
+    from tcgan_tpu.utils.stopwatch import StopWatch
+
+    gen_cfg = common.generator_config_from_args(args, solver="ift")
+    dataset = common.load_or_generate_dataset(args, gen_cfg)
+
+    input_scale = None
+    if args.normalize_input:
+        mean_tc = np.asarray(dataset.tc).mean(axis=0)
+        input_scale = tuple(
+            float(s) for s in 1.0 / np.maximum(np.abs(mean_tc), 1e-6))
+
+    cfg = wgan_lib.WGANConfig(
+        gen=gen_cfg,
+        input_scale=input_scale,
+        critic_layers=tuple(args.disc_layers),
+        batch_size=args.batch_size,
+        gp_lambda=args.gp_lambda,
+        n_critic=args.n_critic,
+        n_critic0=args.n_critic0,
+        lr_gen=args.lr_gen,
+        lr_critic=args.lr_critic,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        rate_cost=args.rate_cost,
+        clip_grad=args.clip_grad,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_decay_rate=args.lr_decay_rate,
+        ema_decay=args.gen_ema,
+        seed=args.seed,
+    )
+    K = args.ensemble
+
+    store = DataStore(args.datastore)
+    store.write_info({"entry": "ensemble", "n_members": K, **vars(args)})
+    gen_init = gen_lib.init_params(
+        cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S))
+    states = ens_lib.init_ensemble(
+        cfg, K, jax.random.PRNGKey(cfg.seed), gen_init=gen_init,
+        start_jitter=args.start_jitter)
+    ckpt = CheckpointManager(store.subdir("ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        states = ckpt.restore(states)
+
+    cols = (["step", "member", "d_loss", "g_loss", "wasserstein",
+             "d_accuracy", "frac_converged", "frac_diverged", "mean_iters",
+             "train_time"]
+            + [f"{blk}_{i}{j}" for blk in ("J", "D", "S")
+               for i in range(2) for j in range(2)])
+    rec = CSVRecorder(store.file("ensemble.csv"), cols)
+    watch = StopWatch()
+
+    start = int(np.asarray(states.step)[0])
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7919), start)
+    true_params = None
+    if not args.dataset:
+        tj, td, ts = common.resolve_true_params(args)
+        true_params = {"J": np.asarray(tj), "D": np.asarray(td),
+                       "S": np.asarray(ts)}
+
+    divergence_strikes = 0
+    status = "finished"
+    try:
+        for step in range(start, start + args.n_steps):
+            key, k_data, k_step = jax.random.split(key, 3)
+            n_critic = cfg.n_critic0 if step == 0 else cfg.n_critic
+            real = dataset.sample_stack(
+                k_data, K * n_critic, cfg.critic_batch
+            ).reshape(K, n_critic, cfg.critic_batch, cfg.gen.tc_dim)
+            member_keys = jax.random.split(k_step, K)
+            with watch.time("train"):
+                states, metrics = ens_lib.ensemble_train_step(
+                    cfg, n_critic, states, real, member_keys)
+                jax.block_until_ready(metrics.d_loss)
+
+            if (step % args.record_every == 0
+                    or step == start + args.n_steps - 1):
+                host = {f: np.asarray(getattr(metrics, f)) for f in
+                        ("d_loss", "g_loss", "wasserstein", "d_accuracy",
+                         "frac_converged", "frac_diverged", "mean_iters")}
+                gp_host = jax.tree.map(np.asarray, states.gen_params)
+                for m in range(K):
+                    J, D, S = gen_lib.param_values_np(
+                        cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
+                    row = {"step": step, "member": m,
+                           "train_time": watch.last("train"),
+                           **{f: float(v[m]) for f, v in host.items()}}
+                    for blk, val in (("J", J), ("D", D), ("S", S)):
+                        for i in range(2):
+                            for j in range(2):
+                                row[f"{blk}_{i}{j}"] = float(val[i][j])
+                    rec.record(row)
+                fdiv = float(host["frac_diverged"].mean())
+                if fdiv > args.divergence_abort:
+                    divergence_strikes += 1
+                    if divergence_strikes >= args.divergence_patience:
+                        raise PervasiveDivergenceError(
+                            f"ensemble mean frac_diverged={fdiv:.2f} for "
+                            f"{divergence_strikes} recorded steps")
+                else:
+                    divergence_strikes = 0
+
+            if (step + 1) % args.checkpoint_every == 0:
+                ckpt.save(step + 1, states)
+    except PervasiveDivergenceError as e:
+        status = f"aborted: {e}"
+    finally:
+        rec.close()
+
+    ckpt.save(int(np.asarray(states.step)[0]), states)
+    ckpt.close()
+
+    # Final artifacts: stacked params + summary.
+    gp_host = jax.tree.map(np.asarray, states.gen_params)
+    stacked = {}
+    for m in range(K):
+        J, D, S = gen_lib.param_values_np(
+            cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
+        for blk, val in (("J", J), ("D", D), ("S", S)):
+            stacked.setdefault(blk, []).append(np.asarray(val))
+    npz = {k: np.stack(v) for k, v in stacked.items()}
+    if cfg.ema_decay > 0 and states.ema_params is not None:
+        ema_host = jax.tree.map(np.asarray, states.ema_params)
+        for m in range(K):
+            J, D, S = gen_lib.param_values_np(
+                cfg.gen, jax.tree.map(lambda a: a[m], ema_host))
+            for blk, val in (("J_ema", J), ("D_ema", D), ("S_ema", S)):
+                stacked.setdefault(blk, []).append(np.asarray(val))
+        for blk in ("J_ema", "D_ema", "S_ema"):
+            npz[blk] = np.stack(stacked[blk])
+    np.savez(store.file("ensemble_params.npz"), **npz)
+
+    summary = ens_lib.ensemble_summary(cfg, states, true_params)
+    with open(store.file("ensemble_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"status": status, "n_members": K,
+                      "mean": summary["mean"], "std": summary["std"]}))
+    store.finalize(status)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Ensemble (multi-start) fitting: vmapped member equivalence vs the
+single-fit step, start-jitter semantics, and the CLI end-to-end."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcgan_tpu.models import ensemble as ens_lib
+from tcgan_tpu.models import generator as gen_lib
+from tcgan_tpu.models import wgan as wgan_lib
+
+from tests.test_wgan import TINY_GEN, tiny_wgan_cfg
+
+
+def test_ensemble_member_matches_single_fit():
+    """A stacked K=1 ensemble step must reproduce the single train_step
+    bit-for-bit: vmap adds members, not semantics."""
+    cfg = tiny_wgan_cfg()
+    single = wgan_lib.init_state(cfg)
+    key = jax.random.PRNGKey(3)
+    real = 0.1 * jax.random.normal(
+        key, (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim)) + 1.0
+
+    new_single, m_single = wgan_lib.train_step(cfg, cfg.n_critic, single,
+                                               real, key)
+
+    stacked = jax.tree.map(lambda a: a[None], single)
+    new_stacked, m_stacked = ens_lib.ensemble_train_step(
+        cfg, cfg.n_critic, stacked, real[None], key[None])
+
+    np.testing.assert_allclose(np.asarray(m_stacked.d_loss)[0],
+                               np.asarray(m_single.d_loss), rtol=1e-12)
+    for k in ("J", "D", "S"):
+        np.testing.assert_allclose(
+            np.asarray(new_stacked.gen_params[k])[0],
+            np.asarray(new_single.gen_params[k]), rtol=1e-12)
+
+
+def test_ensemble_members_independent_and_jittered():
+    cfg = tiny_wgan_cfg(batch_size=2, critic_layers=(8,))
+    gen_init = gen_lib.init_params(cfg.gen)
+    states = ens_lib.init_ensemble(cfg, 3, jax.random.PRNGKey(0),
+                                   gen_init=gen_init, start_jitter=0.1)
+    # member 0 keeps the exact start; others are perturbed and distinct
+    J = np.asarray(states.gen_params["J"])
+    np.testing.assert_allclose(J[0], np.asarray(gen_init["J"]), rtol=1e-12)
+    assert not np.allclose(J[1], J[0])
+    assert not np.allclose(J[2], J[1])
+    # critic inits differ per member (weights; biases start at zero)
+    assert any(
+        not np.allclose(np.asarray(leaf)[0], np.asarray(leaf)[1])
+        for leaf in jax.tree.leaves(states.critic_params)
+    )
+
+    key = jax.random.PRNGKey(1)
+    real = 0.1 * jax.random.normal(
+        key, (3, cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim)) + 1.0
+    new_states, metrics = ens_lib.ensemble_train_step(
+        cfg, cfg.n_critic, states, real, jax.random.split(key, 3))
+    assert metrics.d_loss.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(metrics.d_loss)))
+    assert int(np.asarray(new_states.step)[0]) == 1
+    # summary across members
+    summary = ens_lib.ensemble_summary(
+        cfg, new_states,
+        {"J": np.full((2, 2), 0.02), "D": np.full((2, 2), 0.05),
+         "S": np.full((2, 2), 0.2)})
+    assert summary["n_members"] == 3
+    assert "recovery_error" in summary["members"][0]
+    assert np.all(np.asarray(summary["std"]["J"]) >= 0)
+
+
+def test_ensemble_cli_end_to_end(tmp_path):
+    from tcgan_tpu.run import ensemble as ens_cli
+
+    d = str(tmp_path / "ens")
+    rc = ens_cli.main([
+        "--datastore", d,
+        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+        "--J", "0.02", "0.016", "0.02", "0.012",
+        "--D", "0.05", "0.04", "0.05", "0.04",
+        "--S", "0.25", "0.1", "0.25", "0.1",
+        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        "--batch-size", "3", "--n-steps", "2",
+        "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
+        "--truth-samples", "8", "--disc-layers", "8",
+        "--ensemble", "2", "--start-jitter", "0.05",
+        "--record-every", "1", "--gen-ema", "0.9",
+    ])
+    assert rc == 0
+    rows = open(f"{d}/ensemble.csv").read().strip().split("\n")
+    # header + 2 members x 2 steps
+    assert len(rows) == 5
+    assert rows[0].startswith("step,member,")
+    summary = json.loads(open(f"{d}/ensemble_summary.json").read())
+    assert summary["n_members"] == 2
+    assert summary["members"][0]["recovery_error"]["J"] >= 0
+    npz = np.load(f"{d}/ensemble_params.npz")
+    assert npz["J"].shape == (2, 2, 2)
+    assert npz["J_ema"].shape == (2, 2, 2)
+    # member starts differ (jitter) but member 0 began at the exact --J
+    first = {r.split(",")[1]: r for r in rows[1:] if r.split(",")[0] == "0"}
+    j00_m0 = float(first["0"].split(",")[10])
+    assert abs(j00_m0 - 0.02) < 5e-3  # moved at most one Adam step
+    info = json.loads(open(f"{d}/info.json").read())
+    assert info["status"] == "finished"
