@@ -170,9 +170,14 @@ def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0):
 
 
 def convergence_fraction(gen_cfg, J, D, S, n_circuits: int = 64,
-                         seed: int = 0) -> float:
-    """Fraction of (circuit, stimulus) solves that converge — a battery
-    with hostile conditions (divergent high contrasts) scores low."""
+                         seed: int = 0) -> Tuple[float, float]:
+    """(per-solve convergence, per-circuit all-condition yield).
+
+    The second number is the dataset-generation yield: a circuit enters a
+    fake-truth dataset only if EVERY battery condition converges, so a
+    battery whose per-solve rate looks fine (0.93) can still have a
+    prohibitive circuit yield (0.93^24 ~ 0.18) — exactly how the contrast-15
+    battery first failed in practice."""
     import jax
 
     from tcgan_tpu.models import generator as gen_lib
@@ -180,7 +185,8 @@ def convergence_fraction(gen_cfg, J, D, S, n_circuits: int = 64,
     params = gen_lib.init_params(gen_cfg, J, D, S)
     out = gen_lib.sample_tuning_curves(gen_cfg, params,
                                        jax.random.PRNGKey(seed), n_circuits)
-    return float(np.asarray(out.converged).mean())
+    conv = np.asarray(out.converged)
+    return float(conv.mean()), float(conv.all(axis=-1).mean())
 
 
 def identifiability_report(jac: np.ndarray,
@@ -216,8 +222,8 @@ def battery_score(gen_cfg, J, D, S, n_circuits: int = 256,
     rep["d_opt_log10"] = float(np.sum(np.log10(s)))  # log10 det(J^T J)^0.5
     rep["n_moments"] = int(jac.shape[0])
     rep["moment_scale"] = float(np.abs(moments).mean())
-    rep["frac_converged"] = convergence_fraction(gen_cfg, J, D, S,
-                                                 seed=seed)
+    rep["frac_converged"], rep["circuit_yield"] = convergence_fraction(
+        gen_cfg, J, D, S, seed=seed)
     return rep
 
 
@@ -335,8 +341,8 @@ def main(argv=None) -> int:
         rep["d_opt_log10"] = float(np.sum(np.log10(s)))
         rep["n_moments"] = int(jac.shape[0])
         rep["moment_scale"] = float(np.abs(moments).mean())
-        rep["frac_converged"] = convergence_fraction(cfg_c, J, D, S,
-                                                     seed=args.seed)
+        rep["frac_converged"], rep["circuit_yield"] = convergence_fraction(
+            cfg_c, J, D, S, seed=args.seed)
         rep["contrasts"] = list(contrasts)
         if i == 0 and args.fitted_J and args.fitted_D and args.fitted_S:
             rep["fit_decomposition"] = subspace_errors(
@@ -349,7 +355,8 @@ def main(argv=None) -> int:
         print(f"contrasts={contrasts}: sigma_min={rep['sigma_min']:.3e} "
               f"cond={rep['condition_number']:.1f} "
               f"d_opt_log10={rep['d_opt_log10']:.2f} "
-              f"frac_converged={rep['frac_converged']:.3f}", flush=True)
+              f"frac_converged={rep['frac_converged']:.3f} "
+              f"circuit_yield={rep['circuit_yield']:.3f}", flush=True)
 
     text = json.dumps(out, indent=2)
     if args.output:
