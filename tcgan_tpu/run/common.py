@@ -171,6 +171,12 @@ def add_data_flags(p: argparse.ArgumentParser):
     g.add_argument("--truth-samples", type=int, default=1024,
                    help="fake-truth dataset size")
     g.add_argument("--truth-seed", type=int, default=42)
+    g.add_argument("--truth-batch", type=int, default=64,
+                   help="circuits per fake-truth solver batch")
+    g.add_argument("--truth-tries-factor", type=int, default=4,
+                   help="abort fake-truth generation below ~1/factor "
+                        "per-circuit yield (raise for near-critical "
+                        "batteries; see BASELINE.md battery design)")
 
 
 def ssn_config_from_args(args) -> SSNConfig:
@@ -232,5 +238,7 @@ def load_or_generate_dataset(args, gen_cfg: GeneratorConfig):
         tj, td, ts = resolve_true_params(args)
         arr = generate_fake_truth(
             gen_cfg, tj, td, ts, args.truth_samples, seed=args.truth_seed,
+            batch=getattr(args, "truth_batch", 64),
+            tries_factor=getattr(args, "truth_tries_factor", 4),
         )
     return TuningCurveDataset.from_array(np.asarray(arr))
