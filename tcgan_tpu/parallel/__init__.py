@@ -11,6 +11,7 @@ from tcgan_tpu.parallel.mesh import (  # noqa: F401
     BATCH_AXIS,
     MODEL_AXIS,
     make_mesh,
+    make_sharded_ensemble_step,
     make_sharded_gan_step,
     make_sharded_mm_step,
 )

@@ -83,6 +83,30 @@ def make_sharded_mm_step(impl, mesh: Mesh):
     )
 
 
+def make_sharded_ensemble_step(impl, mesh: Mesh):
+    """Shard an ensemble ``ensemble_train_step_impl`` over ``mesh``: the
+    MEMBER axis (leading on every state/data/key leaf) shards over the
+    batch mesh axis — K independent fits spread across chips, zero
+    cross-member collectives (the embarrassingly-parallel layout;
+    parameters are per-member, so nothing is replicated but the config).
+
+    The member count must be divisible by the batch-axis size.
+    """
+
+    def member_shard(a):
+        spec = P(BATCH_AXIS, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    def wrapped(cfg, n_critic, states, real_stacks, keys):
+        states = jax.tree.map(member_shard, states)
+        real_stacks = member_shard(real_stacks)
+        new_states, metrics = impl(cfg, n_critic, states, real_stacks, keys)
+        new_states = jax.tree.map(member_shard, new_states)
+        return new_states, metrics
+
+    return jax.jit(wrapped, static_argnames=("cfg", "n_critic"))
+
+
 def with_mesh_axes(gen_cfg, batch: bool = True, model: bool = False):
     """Return a copy of a GeneratorConfig with mesh sharding constraints
     enabled."""

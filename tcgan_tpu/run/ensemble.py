@@ -37,6 +37,38 @@ def make_parser():
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
+    import contextlib
+
+    import jax
+
+    from tcgan_tpu.models import ensemble as ens_lib
+    from tcgan_tpu.run import common
+
+    gen_cfg = common.generator_config_from_args(args, solver="ift")
+
+    step_fn = ens_lib.ensemble_train_step
+    mesh_cm = None
+    if args.parallel == "mesh":
+        # Members shard over the device mesh (embarrassingly parallel —
+        # zero cross-member collectives). Requires --ensemble divisible
+        # by the device count.
+        from tcgan_tpu import parallel as par
+
+        mesh = par.make_mesh(n_model=1)
+        n_dev = mesh.devices.size
+        if args.ensemble % n_dev:
+            raise SystemExit(
+                f"--ensemble {args.ensemble} must be divisible by the "
+                f"{n_dev}-device mesh")
+        step_fn = par.make_sharded_ensemble_step(
+            ens_lib.ensemble_train_step_impl, mesh)
+        mesh_cm = jax.set_mesh(mesh)
+
+    with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
+        return _run(args, gen_cfg, step_fn)
+
+
+def _run(args, gen_cfg, step_fn) -> int:
     import numpy as np
 
     import jax
@@ -51,7 +83,6 @@ def main(argv=None) -> int:
     from tcgan_tpu.train.recorders import CSVRecorder
     from tcgan_tpu.utils.stopwatch import StopWatch
 
-    gen_cfg = common.generator_config_from_args(args, solver="ift")
     dataset = common.load_or_generate_dataset(args, gen_cfg)
 
     input_scale = None
@@ -119,8 +150,8 @@ def main(argv=None) -> int:
             ).reshape(K, n_critic, cfg.critic_batch, cfg.gen.tc_dim)
             member_keys = jax.random.split(k_step, K)
             with watch.time("train"):
-                states, metrics = ens_lib.ensemble_train_step(
-                    cfg, n_critic, states, real, member_keys)
+                states, metrics = step_fn(cfg, n_critic, states, real,
+                                          member_keys)
                 jax.block_until_ready(metrics.d_loss)
 
             if (step % args.record_every == 0

@@ -106,3 +106,35 @@ def test_ensemble_cli_end_to_end(tmp_path):
     assert abs(j00_m0 - 0.02) < 5e-3  # moved at most one Adam step
     info = json.loads(open(f"{d}/info.json").read())
     assert info["status"] == "finished"
+
+
+def test_sharded_ensemble_matches_unsharded():
+    """Members sharded over the 8-device mesh must equal the single-device
+    vmap result (same program, different partitioning)."""
+    from tcgan_tpu import parallel as par
+
+    cfg = tiny_wgan_cfg(batch_size=2, critic_layers=(8,))
+    K = 8
+    states = ens_lib.init_ensemble(cfg, K, jax.random.PRNGKey(0),
+                                   start_jitter=0.05)
+    key = jax.random.PRNGKey(1)
+    real = 0.1 * jax.random.normal(
+        key, (K, cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim)) + 1.0
+    keys = jax.random.split(key, K)
+
+    ref_states, ref_m = ens_lib.ensemble_train_step(
+        cfg, cfg.n_critic, states, real, keys)
+
+    mesh = par.make_mesh(n_batch=8, n_model=1)
+    step = par.make_sharded_ensemble_step(ens_lib.ensemble_train_step_impl,
+                                          mesh)
+    with jax.set_mesh(mesh):
+        sh_states, sh_m = step(cfg, cfg.n_critic, states, real, keys)
+        jax.block_until_ready(sh_m.d_loss)
+
+    np.testing.assert_allclose(np.asarray(sh_m.d_loss),
+                               np.asarray(ref_m.d_loss), rtol=1e-10)
+    for k in ("J", "D", "S"):
+        np.testing.assert_allclose(np.asarray(sh_states.gen_params[k]),
+                                   np.asarray(ref_states.gen_params[k]),
+                                   rtol=1e-10)
