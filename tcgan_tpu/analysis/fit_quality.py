@@ -155,6 +155,11 @@ def make_parser():
                         "(from tcgan_tpu.run.eval --datastore ...)")
     p.add_argument("-o", "--out", default=None,
                    help="output PNG (default RUNDIR/fit_quality.png)")
+    p.add_argument("--jacobian", default=None,
+                   help="moment-Jacobian .npz saved by "
+                        "tcgan_tpu.analysis.identifiability --save-jacobian: "
+                        "adds the ridge-aware error decomposition "
+                        "(identifiable vs provably-flat directions)")
     return p
 
 
@@ -176,6 +181,14 @@ def main(argv=None):
                 break
     summary = plot_fit_quality(rec, out, true_params=true_params,
                                eval_npz=eval_npz)
+    if args.jacobian and true_params is not None and rec.generator:
+        from tcgan_tpu.analysis.identifiability import subspace_errors
+
+        jac = np.load(args.jacobian)["jacobian"]
+        dec = subspace_errors(jac, rec.final_gen_params(), true_params)
+        summary["subspace"] = {
+            k: dec[k] for k in ("identifiable_error", "unidentifiable_error",
+                                "n_identifiable", "raw_error")}
     print(json.dumps({"run": str(rec.path), "plot": out, **summary}))
     return 0
 

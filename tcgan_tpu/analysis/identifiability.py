@@ -305,6 +305,9 @@ def make_parser():
     p.add_argument("--fitted-S", type=float, nargs=4, default=None)
     p.add_argument("--output", type=str, default=None,
                    help="write the JSON report here as well as stdout")
+    p.add_argument("--save-jacobian", type=str, default=None,
+                   help="save the FIRST battery's Jacobian/moments as .npz "
+                        "(consumed by analysis.fit_quality --jacobian)")
     return p
 
 
@@ -344,6 +347,10 @@ def main(argv=None) -> int:
         rep["frac_converged"], rep["circuit_yield"] = convergence_fraction(
             cfg_c, J, D, S, seed=args.seed)
         rep["contrasts"] = list(contrasts)
+        if i == 0 and args.save_jacobian:
+            np.savez(args.save_jacobian, jacobian=jac, moments=moments,
+                     param_names=np.array(PARAM_NAMES),
+                     contrasts=np.array(contrasts))
         if i == 0 and args.fitted_J and args.fitted_D and args.fitted_S:
             rep["fit_decomposition"] = subspace_errors(
                 jac,

@@ -111,10 +111,16 @@ def test_fit_quality_cli(tmp_path, capsys):
     np.savez(ev / "eval_tuning_curves.npz",
              gen_tc=rng.normal(size=(100, 4)) + 1.0,
              data_tc=rng.normal(size=(150, 4)) + 1.0)
+    jac_path = tmp_path / "jac.npz"
+    np.savez(jac_path, jacobian=rng.normal(size=(16, 12)),
+             moments=np.ones(16))
     rc = fit_quality.main([str(d), "--eval", str(ev),
+                           "--jacobian", str(jac_path),
                            "-o", str(tmp_path / "fq.png")])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
     assert (tmp_path / "fq.png").exists()
     assert out["param_recovery_error"]["J"] < 1e-9  # truth == fitted
     assert np.isfinite(out["tc_w1"]) and np.isfinite(out["sliced_w1"])
+    assert np.isfinite(out["subspace"]["identifiable_error"])
+    assert out["subspace"]["n_identifiable"] <= 12

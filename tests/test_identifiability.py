@@ -112,6 +112,7 @@ def test_identifiability_cli(tmp_path, capsys):
         "--fitted-D", "0.09", "0.08", "0.1", "0.08",
         "--fitted-S", "0.25", "0.1", "0.25", "0.1",
         "--output", str(out),
+        "--save-jacobian", str(tmp_path / "jac.npz"),
     ])
     assert rc == 0
     rep = json.loads(out.read_text())
@@ -128,6 +129,9 @@ def test_identifiability_cli(tmp_path, capsys):
     dec = b0["fit_decomposition"]
     assert np.isfinite(dec["identifiable_error"])
     assert dec["raw_error"] > 0 and len(dec["components"]) == 12
+    jac_npz = np.load(tmp_path / "jac.npz")
+    assert jac_npz["jacobian"].shape == (4, 12)
+    assert list(jac_npz["param_names"]) == list(ident.PARAM_NAMES)
 
 
 def test_subspace_errors_separates_ridge_from_identifiable():
