@@ -61,6 +61,13 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
 
         from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
 
+        if cfg.accel != "none":
+            import warnings
+
+            warnings.warn(
+                "accel='anderson' is implemented on the xla backend only; "
+                "the pallas kernel runs unaccelerated", stacklevel=2)
+
         return solve_fixed_point_pallas(
             cfg, W, I_ext, block_b=cfg.pallas_block_b,
             check_every=max(cfg.check_every, 1),
@@ -129,12 +136,17 @@ def solve_fixed_point(
         delta = -r + f(u)
         return jnp.minimum(r + dt_over_tau * delta, r_ceiling), delta
 
+    anderson = cfg.accel == "anderson"
+
     class _State(NamedTuple):
         r: jnp.ndarray
         converged: jnp.ndarray
         diverged: jnp.ndarray
         iters: jnp.ndarray
         it: jnp.ndarray
+        # Anderson(1) chunk history (zeros-sized placeholders when off)
+        r_in_prev: jnp.ndarray
+        f_prev: jnp.ndarray  # previous chunk displacement H(r) - r
 
     def cond(s: _State):
         active = ~(s.converged | s.diverged)
@@ -149,20 +161,48 @@ def solve_fixed_point(
         newly_div = active & (peak > cfg.rate_stop_at)
         newly_conv = active & ~newly_div & (err < cfg.atol)
         resolved_now = newly_div | newly_conv
+        r_next = r_new
+        f_cur = r_new - s.r  # chunk displacement F = H(r) - r
+        if anderson:
+            # Anderson(1) on the chunk map H: extrapolate along the secant
+            # of the displacement, gamma = <F, F - F_prev> / ||F - F_prev||^2,
+            # r_aa = H(r) - gamma * (H(r) - H(r_prev)). Safeguards: history
+            # must exist (it > 0), |gamma| bounded, still-active samples
+            # only, result clamped to [0, r_ceiling]. The residual/flags
+            # above use the PLAIN chunk — the accepted fixed point and its
+            # criterion are unchanged.
+            dF = f_cur - s.f_prev
+            denom = jnp.sum(dF * dF, axis=-1, keepdims=True)
+            gamma = jnp.sum(f_cur * dF, axis=-1, keepdims=True) / (
+                denom + 1e-30)
+            h_prev = s.r_in_prev + s.f_prev  # H(r_prev)
+            r_aa = r_new - gamma * (r_new - h_prev)
+            ok = ((s.it > 0)
+                  & (jnp.abs(gamma[..., 0]) < 2.0)
+                  & (denom[..., 0] > 0.0)
+                  & active & ~resolved_now)
+            r_aa = jnp.clip(r_aa, 0.0, r_ceiling)
+            r_next = jnp.where(ok[..., None], r_aa, r_new)
         return _State(
-            r=jnp.where(active[..., None], r_new, s.r),
+            r=jnp.where(active[..., None], r_next, s.r),
             converged=s.converged | newly_conv,
             diverged=s.diverged | newly_div,
             iters=jnp.where(resolved_now, it_next, s.iters),
             it=it_next,
+            r_in_prev=s.r if anderson else s.r_in_prev,
+            f_prev=f_cur if anderson else s.f_prev,
         )
 
+    hist0 = (jnp.zeros_like(r0) if anderson
+             else jnp.zeros((0,) * r0.ndim, dtype=dtype))
     init = _State(
         r=r0,
         converged=jnp.zeros(lead + (S,), dtype=bool),
         diverged=jnp.zeros(lead + (S,), dtype=bool),
         iters=jnp.full(lead + (S,), cfg.max_iter, dtype=jnp.int32),
         it=jnp.zeros((), dtype=jnp.int32),
+        r_in_prev=hist0,
+        f_prev=hist0,
     )
     out = lax.while_loop(cond, body, init)
     return FixedPointResult(out.r, out.converged, out.diverged, out.iters)

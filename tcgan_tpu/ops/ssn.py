@@ -96,6 +96,12 @@ class SSNConfig:
     # "feedforward" (r0 = f(I_ext) — the no-recurrence estimate, much
     # closer to r* than zero, so the residual has less distance to decay).
     init: str = "zero"
+    # Fixed-point acceleration (XLA backend): "none" or "anderson" —
+    # Anderson(1) extrapolation applied once per check chunk on the
+    # chunk map H = stepper^check_every, safeguarded (bounded mixing
+    # coefficient, rate clamping, active-mask gating). Same fixed point
+    # and residual criterion; fewer chunks on slow-converging circuits.
+    accel: str = "none"
 
     def __post_init__(self):
         if self.io_type not in io_funs.IO_TYPES:

@@ -86,6 +86,10 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    help="euler: reference-faithful forward Euler; expo: "
                         "exponential Euler (exact leak integration, dt not "
                         "capped by tau_I, same fixed point)")
+    g.add_argument("--accel", choices=("none", "anderson"), default="none",
+                   help="fixed-point acceleration (xla backend): "
+                        "Anderson(1) per check chunk — same fixed point, "
+                        "~2x fewer iterations (composes with --stepper)")
 
 
 def add_stimulus_flags(p: argparse.ArgumentParser):
@@ -194,6 +198,7 @@ def ssn_config_from_args(args) -> SSNConfig:
         pallas_refine=(args.pallas_refine == "on"),
         stepper=args.stepper,
         init=args.init,
+        accel=getattr(args, "accel", "none"),
     )
 
 

@@ -172,3 +172,32 @@ def test_feedforward_init_same_fixed_point_fewer_iters():
     np.testing.assert_allclose(np.asarray(res.r), np.asarray(ref.r),
                                rtol=1e-5, atol=1e-7)
     assert int(res.iters.max()) < int(ref.iters.max())
+
+
+def test_anderson_same_fixed_point_fewer_iters():
+    """Anderson(1) chunk acceleration reaches the identical fixed point
+    (same residual criterion) in fewer iterations on a strongly-coupled
+    circuit, and keeps divergence flagging intact."""
+    import dataclasses
+
+    cfg = _small_cfg(check_every=8)
+    W, I = _random_problem(cfg, scale=1.0, contrast=10.0)
+    ref = fixed_point.solve_fixed_point(cfg, W, I, check_every=8)
+    assert bool(ref.converged.all())
+
+    cfg_aa = dataclasses.replace(cfg, accel="anderson")
+    res = fixed_point.solve_fixed_point(cfg_aa, W, I, check_every=8)
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(np.asarray(res.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-6)
+    assert int(res.iters.max()) < int(ref.iters.max()), (
+        int(res.iters.max()), int(ref.iters.max()))
+
+    # divergence detection unchanged on a hostile circuit
+    n2 = cfg.num_neurons
+    W_bad = 5.0 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                            (n2, n2), dtype=jnp.float64))
+    bad = fixed_point.solve_fixed_point(
+        dataclasses.replace(cfg_aa, max_iter=2000), W_bad,
+        30.0 * jnp.ones((1, n2), dtype=jnp.float64), check_every=8)
+    assert bool(bad.diverged.all())
