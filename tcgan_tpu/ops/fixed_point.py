@@ -61,19 +61,13 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
 
         from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
 
-        if cfg.accel != "none":
-            import warnings
-
-            warnings.warn(
-                "accel='anderson' is implemented on the xla backend only; "
-                "the pallas kernel runs unaccelerated", stacklevel=2)
-
         return solve_fixed_point_pallas(
             cfg, W, I_ext, block_b=cfg.pallas_block_b,
             check_every=max(cfg.check_every, 1),
             layout=cfg.pallas_layout,
             two_phase=cfg.pallas_two_phase,
             refine=cfg.pallas_refine,
+            accel=(cfg.accel == "anderson"),
             # off-TPU (tests, CPU smoke) the kernel runs interpreted
             interpret=jax.default_backend() != "tpu",
         )

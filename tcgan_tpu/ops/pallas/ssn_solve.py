@@ -174,6 +174,7 @@ def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
 def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                    check_every: int, two_phase: bool, refine: bool,
+                   accel: bool,
                    W_ref, I_ref, dtau_ref, r_ref, conv_ref, div_ref,
                    iters_ref):
     """Fully 2-D kernel: the tile's state is R = block_b*s_pad rows of
@@ -245,6 +246,30 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         conv: jnp.ndarray  # (R, 1) f32 0/1
         div: jnp.ndarray  # (R, 1) f32 0/1
         iters: jnp.ndarray  # (R, 1) f32
+        # Anderson(1) chunk history; zeros-shaped (and dropped by DCE)
+        # when accel is off, so both paths share one state layout.
+        nhist: jnp.ndarray  # scalar f32: chunks since this loop started
+        r_in_prev: jnp.ndarray  # (R, n_pad) previous chunk input
+        f_prev: jnp.ndarray  # (R, n_pad) previous chunk displacement
+
+    def apply_anderson(s: S, r_new, active, resolved):
+        """Anderson(1) on the chunk map H = step^check_every — same math
+        and safeguards as the XLA path (ops/fixed_point.py): extrapolate
+        along the displacement secant, gate on history/bounded-gamma/
+        active, clamp to [0, r_ceiling]. Residual flags keep using the
+        PLAIN chunk, so the accepted fixed point and its criterion are
+        unchanged."""
+        f_cur = r_new - s.r
+        dF = f_cur - s.f_prev
+        denom = jnp.sum(dF * dF, axis=-1, keepdims=True)  # (R, 1)
+        gamma = jnp.sum(f_cur * dF, axis=-1, keepdims=True) / (denom + 1e-30)
+        h_prev = s.r_in_prev + s.f_prev
+        r_aa = jnp.clip(r_new - gamma * (r_new - h_prev), 0.0, r_ceiling)
+        ok = (jnp.where(s.nhist > 0.5, 1.0, 0.0)
+              * jnp.where(jnp.abs(gamma) < 2.0, 1.0, 0.0)
+              * jnp.where(denom > 0.0, 1.0, 0.0)
+              * active * (1.0 - resolved))
+        return r_new + ok * (r_aa - r_new), s.r, f_cur
 
     def make_loop(step_fn, atol, max_it):
         def cond(s: S):
@@ -265,6 +290,9 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
             newly_div = active * div_hit
             newly_conv = active * (1.0 - div_hit) * conv_hit
             resolved = newly_div + newly_conv
+            r_in_prev, f_prev = s.r_in_prev, s.f_prev
+            if accel:
+                r, r_in_prev, f_prev = apply_anderson(s, r, active, resolved)
             return S(
                 it=it_next,
                 r=r,
@@ -273,6 +301,9 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                 iters=s.iters + resolved * (
                     it_next.astype(jnp.float32) - s.iters
                 ),
+                nhist=s.nhist + 1.0,
+                r_in_prev=r_in_prev,
+                f_prev=f_prev,
             )
 
         return cond, body
@@ -306,6 +337,9 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
             newly_div = active * div_hit
             newly_conv = active * (1.0 - div_hit) * conv_hit
             resolved = newly_div + newly_conv
+            r_in_prev, f_prev = s.r_in_prev, s.f_prev
+            if accel:
+                r, r_in_prev, f_prev = apply_anderson(s, r, active, resolved)
             return S(
                 it=it_next,
                 r=r,
@@ -314,10 +348,14 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                 iters=s.iters + resolved * (
                     it_next.astype(jnp.float32) - s.iters
                 ),
+                nhist=s.nhist + 1.0,
+                r_in_prev=r_in_prev,
+                f_prev=f_prev,
             )
 
         return cond, body
 
+    zeros_rn = jnp.zeros((R, n_pad), jnp.float32)
     init = S(
         it=jnp.zeros((), jnp.int32),
         r=(f(I_tile) if cfg.init == "feedforward"
@@ -325,6 +363,9 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         conv=jnp.zeros((R, 1), jnp.float32),
         div=jnp.zeros((R, 1), jnp.float32),
         iters=jnp.full((R, 1), float(cfg.max_iter), jnp.float32),
+        nhist=jnp.zeros((), jnp.float32),
+        r_in_prev=zeros_rn,
+        f_prev=zeros_rn,
     )
     if two_phase:
         # Phase 1: fast-pass matmuls down to a coarse residual, HARD-CAPPED
@@ -342,7 +383,14 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                   conv=jnp.zeros_like(mid.conv), div=mid.div,
                   # keep phase-1 iteration counts for diverged rows
                   iters=mid.div * mid.iters
-                  + (1.0 - mid.div) * float(cfg.max_iter))
+                  + (1.0 - mid.div) * float(cfg.max_iter),
+                  # Anderson history does NOT carry across the phase
+                  # boundary: phase 2's chunk map differs (precision /
+                  # refine form), so the phase-1 secant would mislead the
+                  # first extrapolation. nhist=0 re-arms the gate.
+                  nhist=jnp.zeros((), jnp.float32),
+                  r_in_prev=zeros_rn,
+                  f_prev=zeros_rn)
         if refine:
             cond2, body2 = make_refine_loop(cfg.atol, cfg.max_iter)
         else:
@@ -361,7 +409,7 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block_b", "check_every", "interpret", "layout",
-                     "two_phase", "refine"),
+                     "two_phase", "refine", "accel"),
 )
 def solve_fixed_point_pallas(
     cfg: SSNConfig,
@@ -373,6 +421,7 @@ def solve_fixed_point_pallas(
     layout: str = "rows",
     two_phase: bool = True,
     refine: bool = True,
+    accel: bool = False,
 ) -> FixedPointResult:
     """Fixed-point solve via the fused VMEM-resident kernel.
 
@@ -411,12 +460,13 @@ def solve_fixed_point_pallas(
 
     grid = (n_tiles,)
     if layout == "t":
-        if two_phase or refine:
+        if two_phase or refine or accel:
             import warnings
 
             warnings.warn(
                 "pallas layout 't' implements the single-phase HIGHEST "
-                "loop only; two_phase/refine are ignored for this layout",
+                "loop only; two_phase/refine/accel are ignored for this "
+                "layout",
                 stacklevel=2,
             )
         C = block_b * s_pad
@@ -465,7 +515,7 @@ def solve_fixed_point_pallas(
     elif layout == "rows":
         kernel = functools.partial(
             _solver_kernel, cfg, block_b, s_pad, n_pad, check_every,
-            two_phase, refine,
+            two_phase, refine, accel,
         )
         r, conv, div, iters = pl.pallas_call(
             kernel,

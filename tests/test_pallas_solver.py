@@ -207,3 +207,20 @@ def test_runaway_rates_stay_finite(backend):
     assert bool(out.diverged.all())
     assert np.all(np.isfinite(np.asarray(out.r)))
     assert float(out.r.max()) <= 10.0 * cfg.rate_stop_at + 1e-3
+
+
+def test_pallas_anderson_matches_xla_fixed_point():
+    """Anderson-accelerated kernel: same fixed points and flags as the
+    plain-XLA solver, fewer iterations than the unaccelerated kernel."""
+    cfg, W, I = _problem()
+    ref = fixed_point.solve_fixed_point(cfg, W, I)
+    plain = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=8,
+                                     interpret=True)
+    out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=8,
+                                   interpret=True, accel=True)
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
+                               rtol=1e-4, atol=1e-5)
+    assert int(np.asarray(out.iters).max()) <= int(
+        np.asarray(plain.iters).max())
