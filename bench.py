@@ -141,6 +141,28 @@ def main() -> int:
     rate_expo = B_TPU * S_cond / t_expo
     expo_conv = float(res_e.converged.mean())
 
+    # Capability extra 2: Anderson(1) chunk acceleration (same fixed
+    # points / residual criterion; --accel anderson), on both steppers.
+    def _rate_accel(c):
+        s = jax.jit(lambda W: solve_fixed_point_pallas(
+            c, W, I_ext, block_b=16, check_every=32, layout="rows",
+            two_phase=True, refine=True, accel=True,
+            interpret=not on_tpu))
+        r = s(W)
+        jax.block_until_ready(r.r)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r = s(W)
+        jax.block_until_ready(r.r)
+        t = (time.perf_counter() - t0) / REPS
+        return B_TPU * S_cond / t, float(r.converged.mean())
+
+    try:
+        rate_aa, aa_conv = _rate_accel(cfg)
+        rate_expo_aa, expo_aa_conv = _rate_accel(cfg_expo)
+    except Exception:  # pragma: no cover
+        rate_aa = aa_conv = rate_expo_aa = expo_aa_conv = float("nan")
+
     # Sustained solver rate: marginal cost between two rep counts, each
     # ending in one scalar device->host transfer — cancels dispatch
     # latency and pipeline fill (BASELINE.md round-2 methodology note).
@@ -258,6 +280,10 @@ def main() -> int:
             "wgan_step_ms": round(wgan_step_ms, 2),
             "tpu_rate_expo_stepper": round(rate_expo, 1),
             "expo_frac_converged": round(expo_conv, 4),
+            "tpu_rate_anderson": round(rate_aa, 1),
+            "anderson_frac_converged": round(aa_conv, 4),
+            "tpu_rate_expo_anderson": round(rate_expo_aa, 1),
+            "expo_anderson_frac_converged": round(expo_aa_conv, 4),
         },
     }
     print(json.dumps(result))
