@@ -145,10 +145,15 @@ def moment_fn(gen_cfg, theta_log, z):
     return jnp.concatenate([mean, jnp.sqrt(var + 1e-12)])
 
 
-def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0):
+def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0,
+                    chunk: int = 64):
     """Jacobian of the TC moment vector w.r.t. log(J, D, S) (M x 12).
 
-    Reverse-mode (jacrev) — forward-mode cannot cross the IFT custom_vjp.
+    Reverse-mode — forward-mode cannot cross the IFT custom_vjp. The
+    backward passes are batched ``chunk`` output-cotangents at a time: a
+    full ``jacrev`` over a rich readout (hundreds of moments) vmaps
+    hundreds of adjoint solves into one program, which can exhaust device
+    memory (observed as a TPU worker crash at 384 outputs x 256 circuits).
     Returns (jacobian, moments) as host NumPy arrays.
     """
     import jax
@@ -164,7 +169,22 @@ def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0):
                              gen_cfg.ssn.N, dtype=gen_cfg.dtype)
     fn = lambda t: moment_fn(gen_cfg, t, z)
     moments = jax.jit(fn)(theta)
-    jac = jax.jit(jax.jacrev(fn))(theta)
+    M = moments.shape[0]
+    if chunk is None or chunk >= M:
+        jac = jax.jit(jax.jacrev(fn))(theta)
+    else:
+        _, vjp_fn = jax.vjp(fn, theta)
+        pull = jax.jit(lambda cts: jax.vmap(lambda ct: vjp_fn(ct)[0])(cts))
+        eye = jnp.eye(M, dtype=moments.dtype)
+        rows = []
+        for lo in range(0, M, chunk):
+            block = eye[lo:lo + chunk]
+            if block.shape[0] < chunk:  # pad to keep one compiled shape
+                block = jnp.concatenate(
+                    [block, jnp.zeros((chunk - block.shape[0], M),
+                                      moments.dtype)])
+            rows.append(np.asarray(pull(block)))
+        jac = np.concatenate(rows, axis=0)[:M]
     return np.asarray(jac, dtype=np.float64), np.asarray(moments,
                                                          dtype=np.float64)
 
