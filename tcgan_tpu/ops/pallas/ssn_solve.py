@@ -261,8 +261,21 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         unchanged."""
         f_cur = r_new - s.r
         dF = f_cur - s.f_prev
-        denom = jnp.sum(dF * dF, axis=-1, keepdims=True)  # (R, 1)
-        gamma = jnp.sum(f_cur * dF, axis=-1, keepdims=True) / (denom + 1e-30)
+        # Row-wise lane sums via a ones-matvec: Mosaic rejects the direct
+        # keepdims sum here ("invalid relayout ... replicated in
+        # destination"), while the MXU contraction lowers cleanly.
+        ones_col = jnp.ones((n_pad, 8), jnp.float32)
+
+        def row_sum(x):  # (R, n_pad) -> (R, 1)
+            s8 = jax.lax.dot_general(
+                x, ones_col, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return s8[:, :1]
+
+        denom = row_sum(dF * dF)  # (R, 1)
+        gamma = row_sum(f_cur * dF) / (denom + 1e-30)
         h_prev = s.r_in_prev + s.f_prev
         r_aa = jnp.clip(r_new - gamma * (r_new - h_prev), 0.0, r_ceiling)
         ok = (jnp.where(s.nhist > 0.5, 1.0, 0.0)
@@ -355,11 +368,15 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
         return cond, body
 
-    zeros_rn = jnp.zeros((R, n_pad), jnp.float32)
+    # Derive the zero history from a live tiled value (I_tile) rather than
+    # a constant: Mosaic gives constant splats a replicated layout, which
+    # conflicts with the tiled layout the loop body yields for the same
+    # carried slot ("invalid relayout ... replicated in destination").
+    zeros_rn = I_tile * 0.0
     init = S(
         it=jnp.zeros((), jnp.int32),
         r=(f(I_tile) if cfg.init == "feedforward"
-           else jnp.zeros((R, n_pad), jnp.float32)),
+           else zeros_rn),
         conv=jnp.zeros((R, 1), jnp.float32),
         div=jnp.zeros((R, 1), jnp.float32),
         iters=jnp.full((R, 1), float(cfg.max_iter), jnp.float32),
