@@ -33,12 +33,14 @@ def init_ensemble(
     key: jax.Array,
     gen_init: Dict[str, jnp.ndarray] | None = None,
     start_jitter: float = 0.0,
+    model=wgan_lib,
 ) -> TrainState:
     """TrainState with a leading member axis on every leaf.
 
     gen_init: shared starting point (unconstrained space); defaults to the
     config's params. start_jitter: stddev of log-space N(0, jitter^2) noise
-    added per member (member 0 keeps the exact start).
+    added per member (member 0 keeps the exact start). model: the model
+    module supplying ``init_state`` (wgan or cwgan — same state contract).
     """
     k_members = jax.random.split(key, n_members)
 
@@ -53,7 +55,7 @@ def init_ensemble(
                 for p, kk in zip(leaves, ks)
             ]
             gp = jax.tree.unflatten(treedef, leaves)
-        return wgan_lib.init_state(cfg, key=kc, gen_init=gp)
+        return model.init_state(cfg, key=kc, gen_init=gp)
 
     states = jax.vmap(init_one)(k_members)
     if start_jitter > 0.0:
@@ -66,17 +68,18 @@ def init_ensemble(
     return states
 
 
-def ensemble_train_step_impl(
-    cfg: WGANConfig,
-    n_critic: int,
-    states: TrainState,  # member-stacked
-    real_stacks: jnp.ndarray,  # (K, n_critic, critic_batch, tc_dim)
-    keys: jax.Array,  # (K, 2) PRNG keys, one per member
-) -> Tuple[TrainState, wgan_lib.StepMetrics]:
-    return jax.vmap(
-        wgan_lib.train_step_impl, in_axes=(None, None, 0, 0, 0)
-    )(cfg, n_critic, states, real_stacks, keys)
+def make_ensemble_step_impl(impl):
+    """Member-vmapped version of a ``train_step_impl`` with the standard
+    ``(cfg, n_critic, state, real_stack, key)`` signature (wgan/cwgan)."""
 
+    def ensemble_impl(cfg, n_critic, states, real_stacks, keys):
+        return jax.vmap(impl, in_axes=(None, None, 0, 0, 0))(
+            cfg, n_critic, states, real_stacks, keys)
+
+    return ensemble_impl
+
+
+ensemble_train_step_impl = make_ensemble_step_impl(wgan_lib.train_step_impl)
 
 ensemble_train_step = jax.jit(
     ensemble_train_step_impl, static_argnames=("cfg", "n_critic")

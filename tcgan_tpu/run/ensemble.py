@@ -31,6 +31,9 @@ def make_parser():
                         "(member 0 keeps the exact --J/--D/--S start)")
     g.add_argument("--record-every", type=int, default=10,
                    help="write ensemble.csv rows every k steps")
+    g.add_argument("--conditional", action="store_true",
+                   help="conditional WGAN members (cwgan semantics: "
+                        "condition-tagged samples, within-condition GP)")
     return p
 
 
@@ -44,9 +47,15 @@ def main(argv=None) -> int:
     from tcgan_tpu.models import ensemble as ens_lib
     from tcgan_tpu.run import common
 
-    gen_cfg = common.generator_config_from_args(args, solver="ift")
+    from tcgan_tpu.models import cwgan as cwgan_lib
+    from tcgan_tpu.models import wgan as wgan_lib
 
-    step_fn = ens_lib.ensemble_train_step
+    gen_cfg = common.generator_config_from_args(args, solver="ift")
+    model = cwgan_lib if args.conditional else wgan_lib
+
+    step_fn = jax.jit(
+        ens_lib.make_ensemble_step_impl(model.train_step_impl),
+        static_argnames=("cfg", "n_critic"))
     mesh_cm = None
     if args.parallel == "mesh":
         # Members shard over the device mesh (embarrassingly parallel —
@@ -61,14 +70,14 @@ def main(argv=None) -> int:
                 f"--ensemble {args.ensemble} must be divisible by the "
                 f"{n_dev}-device mesh")
         step_fn = par.make_sharded_ensemble_step(
-            ens_lib.ensemble_train_step_impl, mesh)
+            ens_lib.make_ensemble_step_impl(model.train_step_impl), mesh)
         mesh_cm = jax.set_mesh(mesh)
 
     with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
-        return _run(args, gen_cfg, step_fn)
+        return _run(args, gen_cfg, step_fn, model)
 
 
-def _run(args, gen_cfg, step_fn) -> int:
+def _run(args, gen_cfg, step_fn, model) -> int:
     import numpy as np
 
     import jax
@@ -83,15 +92,27 @@ def _run(args, gen_cfg, step_fn) -> int:
     from tcgan_tpu.train.recorders import CSVRecorder
     from tcgan_tpu.utils.stopwatch import StopWatch
 
-    dataset = common.load_or_generate_dataset(args, gen_cfg)
+    import dataclasses
+
+    conditional = bool(getattr(args, "conditional", False))
+    data_gen_cfg = (dataclasses.replace(gen_cfg, track_offset_identity=True)
+                    if conditional else gen_cfg)
+    dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
     input_scale = None
     if args.normalize_input:
         mean_tc = np.asarray(dataset.tc).mean(axis=0)
-        input_scale = tuple(
-            float(s) for s in 1.0 / np.maximum(np.abs(mean_tc), 1e-6))
+        scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
+        if conditional:
+            probe_scale = scale.reshape(gen_cfg.n_stim,
+                                        gen_cfg.n_probe).mean(axis=0)
+            scale = np.concatenate([probe_scale, np.ones(2)])
+        input_scale = tuple(float(s) for s in scale)
 
-    cfg = wgan_lib.WGANConfig(
+    from tcgan_tpu.models import cwgan as cwgan_lib
+
+    mk_cfg = cwgan_lib.CWGANConfig if conditional else wgan_lib.WGANConfig
+    cfg = mk_cfg(
         gen=gen_cfg,
         input_scale=input_scale,
         critic_layers=tuple(args.disc_layers),
@@ -118,7 +139,24 @@ def _run(args, gen_cfg, step_fn) -> int:
         cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S))
     states = ens_lib.init_ensemble(
         cfg, K, jax.random.PRNGKey(cfg.seed), gen_init=gen_init,
-        start_jitter=args.start_jitter)
+        start_jitter=args.start_jitter, model=model)
+
+    if conditional:
+        from tcgan_tpu.models.cwgan import tag_with_conditions
+
+        raw = dataset.tc.reshape(dataset.num_samples, cfg.gen.n_stim,
+                                 cfg.gen.n_probe)
+        tagged = tag_with_conditions(cfg, raw)
+        tagged = tagged.reshape(dataset.num_samples, cfg.gen.n_stim, -1)
+
+        def sample_real(key, n_stacks):
+            idx = jax.random.randint(key, (n_stacks, cfg.batch_size), 0,
+                                     dataset.num_samples)
+            return tagged[idx].reshape(n_stacks,
+                                       cfg.batch_size * cfg.gen.n_stim, -1)
+    else:
+        def sample_real(key, n_stacks):
+            return dataset.sample_stack(key, n_stacks, cfg.critic_batch)
     ckpt = CheckpointManager(store.subdir("ckpt"))
     if args.resume and ckpt.latest_step() is not None:
         states = ckpt.restore(states)
@@ -145,9 +183,8 @@ def _run(args, gen_cfg, step_fn) -> int:
         for step in range(start, start + args.n_steps):
             key, k_data, k_step = jax.random.split(key, 3)
             n_critic = cfg.n_critic0 if step == 0 else cfg.n_critic
-            real = dataset.sample_stack(
-                k_data, K * n_critic, cfg.critic_batch
-            ).reshape(K, n_critic, cfg.critic_batch, cfg.gen.tc_dim)
+            stacks = sample_real(k_data, K * n_critic)
+            real = stacks.reshape((K, n_critic) + stacks.shape[1:])
             member_keys = jax.random.split(k_step, K)
             with watch.time("train"):
                 states, metrics = step_fn(cfg, n_critic, states, real,

@@ -138,3 +138,30 @@ def test_sharded_ensemble_matches_unsharded():
         np.testing.assert_allclose(np.asarray(sh_states.gen_params[k]),
                                    np.asarray(ref_states.gen_params[k]),
                                    rtol=1e-10)
+
+
+def test_conditional_ensemble_cli(tmp_path):
+    from tcgan_tpu.run import ensemble as ens_cli
+
+    d = str(tmp_path / "cens")
+    rc = ens_cli.main([
+        "--datastore", d, "--conditional",
+        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+        "--J", "0.02", "0.016", "0.02", "0.012",
+        "--D", "0.05", "0.04", "0.05", "0.04",
+        "--S", "0.25", "0.1", "0.25", "0.1",
+        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        "--batch-size", "3", "--n-steps", "2",
+        "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
+        "--truth-samples", "8", "--disc-layers", "8",
+        "--ensemble", "2", "--start-jitter", "0.05",
+        "--record-every", "1", "--normalize-input",
+    ])
+    assert rc == 0
+    rows = open(f"{d}/ensemble.csv").read().strip().split("\n")
+    assert len(rows) == 5  # header + 2 members x 2 steps
+    summary = json.loads(open(f"{d}/ensemble_summary.json").read())
+    assert summary["n_members"] == 2
+    for row in rows[1:]:
+        vals = row.split(",")
+        assert all(v == v for v in map(float, vals[2:10]))  # finite
