@@ -201,3 +201,30 @@ def test_anderson_same_fixed_point_fewer_iters():
         dataclasses.replace(cfg_aa, max_iter=2000), W_bad,
         30.0 * jnp.ones((1, n2), dtype=jnp.float64), check_every=8)
     assert bool(bad.diverged.all())
+
+
+def test_anderson_preserves_ift_gradients_and_saturating_io():
+    """The accelerated forward reaches the same fixed point, so IFT
+    gradients through it must match the unaccelerated solve; also holds
+    for the saturating io type."""
+    import dataclasses
+
+    import jax
+
+    from tcgan_tpu.ops import ift
+
+    for io_type in ("asym_power", "asym_tanh"):
+        cfg = _small_cfg(check_every=8, io_type=io_type)
+        W, I = _random_problem(cfg)
+
+        def loss(cfg_):
+            res = ift.solve_fixed_point_implicit(cfg_, W, I)
+            return jnp.sum(res.r**2)
+
+        g_ref = jax.grad(lambda w: jnp.sum(
+            ift.solve_fixed_point_implicit(cfg, w, I).r**2))(W)
+        cfg_aa = dataclasses.replace(cfg, accel="anderson")
+        g_aa = jax.grad(lambda w: jnp.sum(
+            ift.solve_fixed_point_implicit(cfg_aa, w, I).r**2))(W)
+        np.testing.assert_allclose(np.asarray(g_aa), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-8)
