@@ -1,0 +1,130 @@
+"""Ensemble-run figure: per-member parameter trajectories, loss overlays,
+and the across-member spread decomposition.
+
+Usage:
+    python -m tcgan_tpu.analysis.ensemble_view RUNDIR [-o OUT.png]
+        [--jacobian JAC.npz]
+
+With ``--jacobian`` (saved by ``analysis.identifiability
+--save-jacobian``), the figure adds the spread-vs-identifiability panel:
+across-member parameter standard deviation along each of the battery's
+singular directions against that direction's singular value — the
+multi-start consistency check of BASELINE.md ("ensemble seed-spread is
+predicted by the identifiability spectrum").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from tcgan_tpu.analysis.loaders import EnsembleRecord, load_ensemble
+
+
+def spread_vs_spectrum(rec: EnsembleRecord, jacobian: np.ndarray):
+    """(singular_values, member spread along each right singular dir)."""
+    K = rec.params["J"].shape[0]
+    theta = np.concatenate(
+        [np.log(rec.params[k].reshape(K, 4)) for k in ("J", "D", "S")],
+        axis=1)
+    d = theta - theta.mean(axis=0)
+    _, s, vt = np.linalg.svd(np.asarray(jacobian, dtype=np.float64),
+                             full_matrices=False)
+    spread = (d @ vt.T).std(axis=0)
+    return s, spread
+
+
+def plot_ensemble(rec: EnsembleRecord, out_path, jacobian=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    K = rec.n_members
+    ncols = 3
+    nrows = 2 + (1 if jacobian is not None else 0)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(15, 4 * nrows),
+                             squeeze=False)
+
+    for j, name in enumerate("JDS"):
+        ax = axes[0][j]
+        for m in range(K):
+            traj = rec.member_trajectory(m, name)
+            steps = rec.member_steps(m)
+            for a in range(2):
+                for b in range(2):
+                    ax.plot(steps, traj[:, a, b], lw=0.7, alpha=0.7,
+                            color=f"C{2 * a + b}")
+        pops = ("E", "I")
+        for a in range(2):
+            for b in range(2):
+                ax.plot([], [], color=f"C{2 * a + b}",
+                        label=f"{name}_{pops[a]}{pops[b]}")
+        ax.set_title(f"{name} trajectories ({K} members)")
+        ax.legend(fontsize=7)
+
+    for j, col in enumerate(("d_loss", "d_accuracy", "frac_converged")):
+        ax = axes[1][j]
+        for m in range(K):
+            mask = rec.member_mask(m)
+            ax.plot(rec.table["step"][mask], rec.table[col][mask], lw=0.7,
+                    alpha=0.7)
+        ax.set_title(col)
+
+    summary = {"n_members": K}
+    if jacobian is not None:
+        s, spread = spread_vs_spectrum(rec, jacobian)
+        ax = axes[2][0]
+        ax.loglog(s, spread, "o")
+        ax.set_xlabel("singular value (identifiability)")
+        ax.set_ylabel("member spread (log-param std)")
+        ax.set_title("seed spread vs identifiability")
+        from scipy import stats
+
+        rho, p = stats.spearmanr(np.log(s + 1e-300),
+                                 np.log(spread + 1e-9))
+        summary["spread_spectrum_spearman"] = float(rho)
+        summary["spread_strongest3"] = float(spread[:3].mean())
+        summary["spread_flattest3"] = float(spread[-3:].mean())
+        ax.text(0.05, 0.05, f"Spearman rho = {rho:.2f}",
+                transform=ax.transAxes)
+        axes[2][1].axis("off")
+        axes[2][2].axis("off")
+
+    if rec.summary:
+        summary["param_std"] = rec.summary.get("std")
+    fig.suptitle(f"ensemble — {rec.path}")
+    fig.tight_layout(rect=(0, 0, 1, 0.97))
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return summary
+
+
+def make_parser():
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("rundir")
+    p.add_argument("-o", "--out", default=None,
+                   help="output PNG (default RUNDIR/ensemble.png)")
+    p.add_argument("--jacobian", default=None,
+                   help="moment-Jacobian .npz for the spread-vs-spectrum "
+                        "panel")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    rec = load_ensemble(args.rundir)
+    out = args.out or str(rec.path / "ensemble.png")
+    jac = np.load(args.jacobian)["jacobian"] if args.jacobian else None
+    summary = plot_ensemble(rec, out, jacobian=jac)
+    print(json.dumps({"run": str(rec.path), "plot": out, **summary}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -82,3 +82,58 @@ def load_run(path: str | Path) -> RunRecord:
         disc_stats=_read_csv(path / "disc_param_stats.csv"),
         tc_mean=_read_jsonl(path / "tc_mean.jsonl"),
     )
+
+
+@dataclasses.dataclass
+class EnsembleRecord:
+    """A loaded ensemble run directory (tcgan_tpu.run.ensemble)."""
+
+    path: Path
+    info: Dict[str, Any]
+    table: Dict[str, np.ndarray]  # ensemble.csv columns
+    summary: Dict[str, Any]  # ensemble_summary.json (may be {})
+    params: Dict[str, np.ndarray]  # ensemble_params.npz (member-stacked)
+
+    @property
+    def n_members(self) -> int:
+        m = self.table.get("member")
+        return int(m.max()) + 1 if m is not None and m.size else 0
+
+    def member_mask(self, member: int) -> np.ndarray:
+        return self.table["member"] == member
+
+    def member_trajectory(self, member: int, name: str) -> np.ndarray:
+        """(steps, 2, 2) trajectory of J / D / S for one member."""
+        mask = self.member_mask(member)
+
+        def col(a, b):  # E/I naming, with legacy digit-index fallback
+            key = f"{name}_{'EI'[a]}{'EI'[b]}"
+            if key not in self.table:
+                key = f"{name}_{a}{b}"
+            return self.table[key][mask]
+
+        return np.stack(
+            [np.stack([col(a, 0), col(a, 1)], axis=-1) for a in (0, 1)],
+            axis=-2)
+
+    def member_steps(self, member: int) -> np.ndarray:
+        return self.table["step"][self.member_mask(member)]
+
+
+def load_ensemble(path: str | Path) -> EnsembleRecord:
+    path = Path(path)
+    info_file = path / "info.json"
+    summary_file = path / "ensemble_summary.json"
+    params_file = path / "ensemble_params.npz"
+    params = {}
+    if params_file.exists():
+        with np.load(params_file) as npz:
+            params = {k: npz[k] for k in npz.files}
+    return EnsembleRecord(
+        path=path,
+        info=json.loads(info_file.read_text()) if info_file.exists() else {},
+        table=_read_csv(path / "ensemble.csv"),
+        summary=(json.loads(summary_file.read_text())
+                 if summary_file.exists() else {}),
+        params=params,
+    )

@@ -161,11 +161,12 @@ def _run(args, gen_cfg, step_fn, model) -> int:
     if args.resume and ckpt.latest_step() is not None:
         states = ckpt.restore(states)
 
+    pops = ("E", "I")
     cols = (["step", "member", "d_loss", "g_loss", "wasserstein",
              "d_accuracy", "frac_converged", "frac_diverged", "mean_iters",
              "train_time"]
-            + [f"{blk}_{i}{j}" for blk in ("J", "D", "S")
-               for i in range(2) for j in range(2)])
+            + [f"{blk}_{a}{b}" for blk in ("J", "D", "S")
+               for a in pops for b in pops])
     rec = CSVRecorder(store.file("ensemble.csv"), cols)
     watch = StopWatch()
 
@@ -204,9 +205,9 @@ def _run(args, gen_cfg, step_fn, model) -> int:
                            "train_time": watch.last("train"),
                            **{f: float(v[m]) for f, v in host.items()}}
                     for blk, val in (("J", J), ("D", D), ("S", S)):
-                        for i in range(2):
-                            for j in range(2):
-                                row[f"{blk}_{i}{j}"] = float(val[i][j])
+                        for i, a in enumerate(pops):
+                            for j, b in enumerate(pops):
+                                row[f"{blk}_{a}{b}"] = float(val[i][j])
                     rec.record(row)
                 fdiv = float(host["frac_diverged"].mean())
                 if fdiv > args.divergence_abort:

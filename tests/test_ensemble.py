@@ -165,3 +165,42 @@ def test_conditional_ensemble_cli(tmp_path):
     for row in rows[1:]:
         vals = row.split(",")
         assert all(v == v for v in map(float, vals[2:10]))  # finite
+
+
+def test_ensemble_loader_and_view(tmp_path):
+    from tcgan_tpu.analysis import ensemble_view
+    from tcgan_tpu.analysis.loaders import load_ensemble
+
+    d = tmp_path / "ens"
+    d.mkdir()
+    pops = ("E", "I")
+    cols = (["step", "member", "d_loss", "g_loss", "wasserstein",
+             "d_accuracy", "frac_converged", "frac_diverged", "mean_iters",
+             "train_time"]
+            + [f"{blk}_{a}{b}" for blk in ("J", "D", "S")
+               for a in pops for b in pops])
+    rng = np.random.default_rng(0)
+    lines = [",".join(cols)]
+    for step in (0, 10):
+        for m in (0, 1, 2):
+            vals = [step, m] + list(rng.uniform(0.1, 1.0, len(cols) - 2))
+            lines.append(",".join(str(v) for v in vals))
+    (d / "ensemble.csv").write_text("\n".join(lines) + "\n")
+    np.savez(d / "ensemble_params.npz",
+             J=rng.uniform(0.03, 0.06, (3, 2, 2)),
+             D=rng.uniform(0.05, 0.12, (3, 2, 2)),
+             S=rng.uniform(0.08, 0.3, (3, 2, 2)))
+    (d / "ensemble_summary.json").write_text(json.dumps(
+        {"n_members": 3, "std": {"J": [[0.01] * 2] * 2}}))
+
+    rec = load_ensemble(d)
+    assert rec.n_members == 3
+    traj = rec.member_trajectory(1, "J")
+    assert traj.shape == (2, 2, 2)
+
+    jac = tmp_path / "jac.npz"
+    np.savez(jac, jacobian=rng.normal(size=(20, 12)))
+    rc = ensemble_view.main([str(d), "--jacobian", str(jac),
+                             "-o", str(tmp_path / "ens.png")])
+    assert rc == 0
+    assert (tmp_path / "ens.png").exists()
