@@ -6,4 +6,9 @@ Reference parity: ``tc_gan/loaders.py`` + ``tc_gan/analyzers/``
 """
 
 from tcgan_tpu.analysis.compare import load_runs  # noqa: F401
-from tcgan_tpu.analysis.loaders import RunRecord, load_run  # noqa: F401
+from tcgan_tpu.analysis.loaders import (  # noqa: F401
+    EnsembleRecord,
+    RunRecord,
+    load_ensemble,
+    load_run,
+)

@@ -204,3 +204,27 @@ def test_ensemble_loader_and_view(tmp_path):
                              "-o", str(tmp_path / "ens.png")])
     assert rc == 0
     assert (tmp_path / "ens.png").exists()
+
+
+def test_ensemble_cli_resume(tmp_path):
+    from tcgan_tpu.run import ensemble as ens_cli
+
+    d = str(tmp_path / "ens_r")
+    base = [
+        "--datastore", d,
+        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+        "--J", "0.02", "0.016", "0.02", "0.012",
+        "--D", "0.05", "0.04", "0.05", "0.04",
+        "--S", "0.25", "0.1", "0.25", "0.1",
+        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        "--batch-size", "3", "--n-steps", "2",
+        "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
+        "--truth-samples", "8", "--disc-layers", "8",
+        "--ensemble", "2", "--record-every", "1",
+        "--checkpoint-every", "2",
+    ]
+    assert ens_cli.main(base) == 0
+    assert ens_cli.main(base + ["--resume"]) == 0
+    rows = open(f"{d}/ensemble.csv").read().strip().split("\n")[1:]
+    steps = sorted({int(float(r.split(",")[0])) for r in rows})
+    assert steps == [0, 1, 2, 3]
