@@ -247,6 +247,66 @@ def battery_score(gen_cfg, J, D, S, n_circuits: int = 256,
     return rep
 
 
+def bootstrap_moment_cov(tc: np.ndarray, n_boot: int = 256,
+                         seed: int = 0) -> np.ndarray:
+    """Per-sample-unit covariance of the moment vector [means, stds].
+
+    Bootstraps the moment vector over the ``tc`` sample set (n, d) and
+    rescales by n so the result C satisfies cov(m_hat at N samples) ~ C/N.
+    """
+    tc = np.asarray(tc, dtype=np.float64)
+    n = tc.shape[0]
+    rng = np.random.default_rng(seed)
+    reps = np.empty((n_boot, 2 * tc.shape[1]))
+    for b in range(n_boot):
+        sub = tc[rng.integers(0, n, n)]
+        reps[b] = np.concatenate([sub.mean(axis=0), sub.std(axis=0)])
+    return n * np.cov(reps.T)
+
+
+def expected_precision(jac: np.ndarray, moment_cov: np.ndarray,
+                       n_data: int,
+                       param_names: Sequence[str] = PARAM_NAMES,
+                       rcond: float = 1e-10) -> Dict:
+    """Cramer-Rao-style expected recovery precision at ``n_data`` samples.
+
+    Fisher information F = n_data * J^T C^+ J (C the per-sample moment
+    covariance); flat directions make F singular, so the parameter
+    covariance uses the pseudo-inverse and the report separates
+    constrained directions (eigenvalue above cutoff -> finite std) from
+    unconstrained ones (std = inf). Log-space params, so stds read as
+    relative (fractional) errors.
+    """
+    jac = np.asarray(jac, dtype=np.float64)
+    C = np.asarray(moment_cov, dtype=np.float64)
+    F = n_data * jac.T @ np.linalg.pinv(C, rcond=rcond) @ jac
+    w, V = np.linalg.eigh(F)
+    cutoff = max(w.max(), 0.0) * rcond
+    constrained = w > cutoff
+    inv_w = np.where(constrained, 1.0 / np.maximum(w, 1e-300), 0.0)
+    cov_params = (V * inv_w) @ V.T
+    per_param = np.sqrt(np.diag(cov_params))
+    per_param = np.where(
+        (np.abs(V[:, ~constrained]) > 1e-3).any(axis=1)
+        if (~constrained).any() else np.zeros(len(per_param), bool),
+        np.inf, per_param)
+    dir_stds = np.where(constrained, 1.0 / np.sqrt(np.maximum(w, 1e-300)),
+                        np.inf)
+    order = np.argsort(dir_stds)
+    return {
+        "n_data": int(n_data),
+        "n_constrained_directions": int(constrained.sum()),
+        "per_param_std": {nm: float(v)
+                          for nm, v in zip(param_names, per_param)},
+        "directions": [
+            {"std": float(dir_stds[i]),
+             "direction": {nm: float(v)
+                           for nm, v in zip(param_names, V[:, i])}}
+            for i in order
+        ],
+    }
+
+
 def subspace_errors(jac: np.ndarray, fitted: Dict[str, np.ndarray],
                     true: Dict[str, np.ndarray],
                     sv_rel_threshold: float = 1e-3) -> Dict:
@@ -328,6 +388,9 @@ def make_parser():
     p.add_argument("--save-jacobian", type=str, default=None,
                    help="save the FIRST battery's Jacobian/moments as .npz "
                         "(consumed by analysis.fit_quality --jacobian)")
+    p.add_argument("--data-samples", type=int, default=0,
+                   help="add a Cramer-Rao expected-precision report for a "
+                        "dataset of this many tuning curves (FIRST battery)")
     return p
 
 
@@ -371,6 +434,23 @@ def main(argv=None) -> int:
             np.savez(args.save_jacobian, jacobian=jac, moments=moments,
                      param_names=np.array(PARAM_NAMES),
                      contrasts=np.array(contrasts))
+        if i == 0 and args.data_samples > 0:
+            import jax
+
+            from tcgan_tpu.models import generator as gen_lib
+
+            params = gen_lib.init_params(cfg_c, J, D, S)
+            out = gen_lib.sample_tuning_curves(
+                cfg_c, params, jax.random.PRNGKey(args.seed + 1),
+                max(args.n_circuits, 128))
+            ok = np.asarray(out.converged.all(axis=-1))
+            tc = np.asarray(out.tc)
+            spc = cfg_c.samples_per_circuit()
+            tc = tc[ok] if cfg_c.track_offset_identity else tc[
+                np.repeat(ok, spc)]
+            C = bootstrap_moment_cov(tc, seed=args.seed)
+            rep["expected_precision"] = expected_precision(
+                jac, C, args.data_samples)
         if i == 0 and args.fitted_J and args.fitted_D and args.fitted_S:
             rep["fit_decomposition"] = subspace_errors(
                 jac,

@@ -155,3 +155,32 @@ def test_subspace_errors_separates_ridge_from_identifiable():
                  else "unidentifiable_error")
         assert dec[key] > 10 * dec[other], (key, dec)
         assert dec["raw_error"] == pytest.approx(0.3 / np.sqrt(12), rel=1e-6)
+
+
+def test_expected_precision_scaling_and_flat_directions():
+    rng = np.random.default_rng(3)
+    # planted: 11 informative directions, 1 flat
+    q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+    jac = rng.normal(size=(30, 11)) @ q[:, :-1].T
+    C = np.eye(30)
+    p1 = ident.expected_precision(jac, C, 1000)
+    p2 = ident.expected_precision(jac, C, 4000)
+    assert p1["n_constrained_directions"] == 11
+    d1 = [d["std"] for d in p1["directions"] if np.isfinite(d["std"])]
+    d2 = [d["std"] for d in p2["directions"] if np.isfinite(d["std"])]
+    # CRLB scales as 1/sqrt(n)
+    np.testing.assert_allclose(np.array(d1) / np.array(d2), 2.0, rtol=1e-6)
+    # the flat direction is reported unconstrained
+    flat = [d for d in p1["directions"] if not np.isfinite(d["std"])]
+    assert len(flat) == 1
+    got = np.array([flat[0]["direction"][n] for n in ident.PARAM_NAMES])
+    assert abs(got @ q[:, -1]) > 0.999
+
+
+def test_bootstrap_moment_cov_matches_theory_for_gaussian(rng):
+    # mean of a Gaussian: cov(mean at N) = sigma^2/N -> unit-cov = sigma^2
+    x = rng.normal(0.0, 2.0, size=(4000, 1))
+    C = ident.bootstrap_moment_cov(x, n_boot=400, seed=1)
+    assert C.shape == (2, 2)
+    np.testing.assert_allclose(C[0, 0], 4.0, rtol=0.25)  # var of mean unit
+    np.testing.assert_allclose(C[1, 1], 2.0, rtol=0.35)  # var of std ~ s^2/2
