@@ -49,14 +49,16 @@ def true_params_from_info(info: dict):
 
 
 def plot_fit_quality(rec: RunRecord, out_path, true_params=None,
-                     eval_npz=None):
+                     eval_npz=None, jacobian=None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     have_tc = eval_npz is not None
-    nrows = 3 if have_tc else 2
+    have_jac = jacobian is not None and true_params is not None \
+        and bool(rec.generator)
+    nrows = 2 + (1 if have_tc else 0) + (1 if have_jac else 0)
     fig, axes = plt.subplots(nrows, 3, figsize=(15, 4 * nrows),
                              squeeze=False)
     lrn, steps = rec.learning, rec.steps
@@ -107,13 +109,44 @@ def plot_fit_quality(rec: RunRecord, out_path, true_params=None,
         summary["param_recovery_error"] = param_recovery_error(
             rec.final_gen_params(), true_params)
 
+    if have_jac:
+        from tcgan_tpu.analysis.identifiability import subspace_trajectory
+
+        traj = {n: rec.gen_param_trajectory(n) for n in "JDS"}
+        st = subspace_trajectory(jacobian, traj, true_params)
+        gsteps = rec.generator.get(
+            "step", np.arange(st["components"].shape[0]))
+        row = nrows - 1 - (1 if have_tc else 0)
+        ax = axes[row][0]
+        order = np.argsort(st["singular_values"])
+        for rank, j in enumerate(order[:4]):  # 4 flattest
+            ax.semilogy(gsteps, np.abs(st["components"][:, j]) + 1e-6,
+                        lw=0.9, label=f"sv={st['singular_values'][j]:.3g}")
+        for j in order[-2:]:  # 2 strongest
+            ax.semilogy(gsteps, np.abs(st["components"][:, j]) + 1e-6,
+                        lw=0.9, ls="--",
+                        label=f"sv={st['singular_values'][j]:.3g}")
+        ax.set_title("|error component| per singular direction")
+        ax.set_xlabel("step")
+        ax.legend(fontsize=7)
+
+        ax = axes[row][1]
+        final = np.abs(st["components"][-1])
+        sv = np.maximum(st["singular_values"], 1e-12)
+        ax.loglog(sv, final + 1e-6, "o")
+        ax.set_xlabel("singular value")
+        ax.set_ylabel("final |error component|")
+        ax.set_title("final error vs identifiability")
+        axes[row][2].axis("off")
+
     if have_tc:
+        tc_row = nrows - 1
         gen_tc = np.asarray(eval_npz["gen_tc"])
         data_tc = np.asarray(eval_npz["data_tc"])
         summary["tc_w1"] = tc_w1(gen_tc, data_tc)
         summary["sliced_w1"] = sliced_w1(gen_tc, data_tc)
 
-        ax = axes[2][0]
+        ax = axes[tc_row][0]
         xs = np.arange(data_tc.shape[1])
         for tc, label, color in ((data_tc, "data", "C0"),
                                  (gen_tc, "generated", "C1")):
@@ -124,13 +157,13 @@ def plot_fit_quality(rec: RunRecord, out_path, true_params=None,
         ax.set_xlabel("condition index")
         ax.legend(fontsize=8)
 
-        ax = axes[2][1]
+        ax = axes[tc_row][1]
         w1s = w1_per_feature(gen_tc, data_tc)
         ax.bar(xs, w1s, color="C2")
         ax.set_title(f"per-condition W1 (mean {w1s.mean():.4g})")
         ax.set_xlabel("condition index")
 
-        ax = axes[2][2]
+        ax = axes[tc_row][2]
         fidx = int(np.argmax(data_tc.std(0)))
         ax.hist(data_tc[:, fidx], bins=30, alpha=0.6, density=True,
                 label="data")
@@ -179,12 +212,12 @@ def main(argv=None):
             if cand.exists():
                 eval_npz = np.load(cand)
                 break
+    jac = np.load(args.jacobian)["jacobian"] if args.jacobian else None
     summary = plot_fit_quality(rec, out, true_params=true_params,
-                               eval_npz=eval_npz)
-    if args.jacobian and true_params is not None and rec.generator:
+                               eval_npz=eval_npz, jacobian=jac)
+    if jac is not None and true_params is not None and rec.generator:
         from tcgan_tpu.analysis.identifiability import subspace_errors
 
-        jac = np.load(args.jacobian)["jacobian"]
         dec = subspace_errors(jac, rec.final_gen_params(), true_params)
         summary["subspace"] = {
             k: dec[k] for k in ("identifiable_error", "unidentifiable_error",

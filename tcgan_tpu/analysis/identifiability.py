@@ -307,6 +307,30 @@ def expected_precision(jac: np.ndarray, moment_cov: np.ndarray,
     }
 
 
+def subspace_trajectory(jac: np.ndarray, trajectories: Dict[str, np.ndarray],
+                        true: Dict[str, np.ndarray]) -> Dict:
+    """Project a whole parameter trajectory onto the Jacobian's singular
+    directions: components[t, j] = <v_j, log theta_t - log theta_true>.
+
+    ``trajectories``: {"J","D","S"} each (T, 2, 2) (RunRecord
+    gen_param_trajectory output). Visualizes which directions a fit
+    actually converges along, and at what rate — the dynamic version of
+    :func:`subspace_errors`.
+    """
+    jac = np.asarray(jac, dtype=np.float64)
+    _, s, vt = np.linalg.svd(jac, full_matrices=True)
+    s_full = np.zeros(vt.shape[0])
+    s_full[: len(s)] = s
+    dtheta = np.concatenate([
+        np.log(np.asarray(trajectories[k], dtype=np.float64).reshape(
+            -1, 4))
+        - np.log(np.asarray(true[k], dtype=np.float64).reshape(1, 4))
+        for k in ("J", "D", "S")
+    ], axis=1)  # (T, 12)
+    comps = dtheta @ vt.T  # (T, 12)
+    return {"singular_values": s_full, "components": comps}
+
+
 def subspace_errors(jac: np.ndarray, fitted: Dict[str, np.ndarray],
                     true: Dict[str, np.ndarray],
                     sv_rel_threshold: float = 1e-3) -> Dict:
