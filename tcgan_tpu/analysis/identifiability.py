@@ -415,6 +415,9 @@ def make_parser():
     p.add_argument("--data-samples", type=int, default=0,
                    help="add a Cramer-Rao expected-precision report for a "
                         "dataset of this many tuning curves (FIRST battery)")
+    p.add_argument("--device", choices=("default", "cpu"), default="default",
+                   help="cpu: force the host CPU backend (the analysis is "
+                        "small enough for CPU and this frees the TPU)")
     return p
 
 
@@ -422,6 +425,12 @@ def main(argv=None) -> int:
     from tcgan_tpu.run import common
 
     args = make_parser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+
+        # Must happen before the first device op; the env-var route is
+        # ignored by some TPU plugins (tests/conftest.py note).
+        jax.config.update("jax_platforms", "cpu")
     gen_cfg = common.generator_config_from_args(args, solver="ift")
     J, D, S = common.as22(args.J), common.as22(args.D), common.as22(args.S)
 
