@@ -473,11 +473,11 @@ def main(argv=None) -> int:
             from tcgan_tpu.models import generator as gen_lib
 
             params = gen_lib.init_params(cfg_c, J, D, S)
-            out = gen_lib.sample_tuning_curves(
+            gen_out = gen_lib.sample_tuning_curves(
                 cfg_c, params, jax.random.PRNGKey(args.seed + 1),
                 max(args.n_circuits, 128))
-            ok = np.asarray(out.converged.all(axis=-1))
-            tc = np.asarray(out.tc)
+            ok = np.asarray(gen_out.converged.all(axis=-1))
+            tc = np.asarray(gen_out.tc)
             spc = cfg_c.samples_per_circuit()
             tc = tc[ok] if cfg_c.track_offset_identity else tc[
                 np.repeat(ok, spc)]

@@ -113,6 +113,7 @@ def test_identifiability_cli(tmp_path, capsys):
         "--fitted-S", "0.25", "0.1", "0.25", "0.1",
         "--output", str(out),
         "--save-jacobian", str(tmp_path / "jac.npz"),
+        "--data-samples", "512",
     ])
     assert rc == 0
     rep = json.loads(out.read_text())
@@ -132,6 +133,9 @@ def test_identifiability_cli(tmp_path, capsys):
     jac_npz = np.load(tmp_path / "jac.npz")
     assert jac_npz["jacobian"].shape == (4, 12)
     assert list(jac_npz["param_names"]) == list(ident.PARAM_NAMES)
+    prec = b0["expected_precision"]
+    assert prec["n_data"] == 512
+    assert 0 < prec["n_constrained_directions"] <= 4  # 4 moments only
 
 
 def test_subspace_errors_separates_ridge_from_identifiable():
