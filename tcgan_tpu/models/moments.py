@@ -41,6 +41,14 @@ class MomentMatchingConfig:
     rate_cost: float = 0.01
     clip_grad: float = 0.0  # global-norm gradient clip (0 = off)
     seed: int = 0
+    # Common random numbers (simulated method of moments): reuse ONE fixed
+    # quenched-noise draw every step instead of resampling z. The objective
+    # becomes deterministic, so Adam converges to the z-set's optimum
+    # instead of stalling at the minibatch-noise floor — essential when the
+    # start<->truth moment signal is below the per-batch sampling noise
+    # (BASELINE.md round-2b stall analysis). The residual Monte-Carlo error
+    # of the z-set itself shrinks with batch_size.
+    fixed_z: bool = False
 
 
 class MMState(NamedTuple):
@@ -96,7 +104,10 @@ def train_step_impl(
     key: jax.Array,
 ) -> Tuple[MMState, MMMetrics]:
     tx = make_optimizer(cfg)
-    k = jax.random.fold_in(key, state.step)
+    if cfg.fixed_z:
+        k = jax.random.PRNGKey(cfg.seed)  # constant across steps (CRN)
+    else:
+        k = jax.random.fold_in(key, state.step)
 
     def loss_fn(gen_params):
         out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, k, cfg.batch_size)

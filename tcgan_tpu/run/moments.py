@@ -34,6 +34,10 @@ def make_parser() -> argparse.ArgumentParser:
     g.add_argument("--mean-weight", type=float, default=1.0)
     g.add_argument("--cov-weight", type=float, default=1.0)
     g.add_argument("--rate-cost", type=float, default=0.01)
+    g.add_argument("--fixed-z", action="store_true",
+                   help="common random numbers: one fixed quenched-noise "
+                        "set every step (deterministic objective; escapes "
+                        "the minibatch-noise floor — see BASELINE.md)")
     return p
 
 
@@ -64,6 +68,7 @@ def main(argv=None):
         cov_weight=args.cov_weight,
         rate_cost=args.rate_cost,
         seed=args.seed,
+        fixed_z=args.fixed_z,
     )
     dataset = common.load_or_generate_dataset(args, gen_cfg)
     store = DataStore(args.datastore)

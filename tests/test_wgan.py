@@ -252,3 +252,29 @@ def test_antithetic_sampling():
     assert np.allclose(np.asarray(z_half), -np.asarray(-z_half))
     with pytest.raises(ValueError):
         gen_lib.sample_tuning_curves(cfg, params, jax.random.PRNGKey(0), 7)
+
+
+def test_moment_matching_fixed_z_is_deterministic():
+    """fixed_z (common random numbers): two steps from the same state with
+    DIFFERENT keys produce identical losses — the objective is
+    deterministic in the parameters."""
+    import jax as _jax
+
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=4,
+                                      fixed_z=True)
+    data_mean = jnp.ones((TINY_GEN.tc_dim,))
+    data_second = jnp.eye(TINY_GEN.tc_dim)
+    state = mm_lib.init_state(cfg)
+    _, m1 = mm_lib.train_step(cfg, state, data_mean, data_second,
+                              _jax.random.PRNGKey(0))
+    _, m2 = mm_lib.train_step(cfg, state, data_mean, data_second,
+                              _jax.random.PRNGKey(123))
+    assert float(m1.loss) == float(m2.loss)
+
+    # and without fixed_z the losses differ (fresh z per key)
+    cfg2 = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=4)
+    _, n1 = mm_lib.train_step(cfg2, state._replace(step=jnp.zeros((), jnp.int32)),
+                              data_mean, data_second, _jax.random.PRNGKey(0))
+    _, n2 = mm_lib.train_step(cfg2, state._replace(step=jnp.zeros((), jnp.int32)),
+                              data_mean, data_second, _jax.random.PRNGKey(123))
+    assert float(n1.loss) != float(n2.loss)
