@@ -49,12 +49,23 @@ class MomentMatchingConfig:
     # (BASELINE.md round-2b stall analysis). The residual Monte-Carlo error
     # of the z-set itself shrinks with batch_size.
     fixed_z: bool = False
+    # Moment averaging: exponential moving average of the GENERATED moments
+    # across steps (decay gamma; 0 = off). The loss residual uses the EMA,
+    # so generator-side Monte-Carlo error shrinks by ~(1-gamma) while fresh
+    # z keeps the estimate unbiased — the effective generator sample count
+    # becomes ~batch/(1-gamma). Gradients flow through the current batch's
+    # (1-gamma) contribution; Adam's scale invariance absorbs the factor.
+    moment_ema: float = 0.0
 
 
 class MMState(NamedTuple):
     gen_params: Dict[str, jnp.ndarray]
     opt: Any
     step: jnp.ndarray
+    # EMA of generated (mean, second) moments when cfg.moment_ema > 0;
+    # None otherwise.
+    ema_mean: Any = None
+    ema_second: Any = None
 
 
 class MMMetrics(NamedTuple):
@@ -92,8 +103,14 @@ def make_optimizer(cfg: MomentMatchingConfig):
 def init_state(cfg: MomentMatchingConfig,
                gen_init: Dict[str, jnp.ndarray] | None = None) -> MMState:
     gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-    return MMState(gen_params, make_optimizer(cfg).init(gen_params),
-                   jnp.zeros((), jnp.int32))
+    d = cfg.gen.tc_dim
+    dtype = cfg.gen.dtype
+    return MMState(
+        gen_params, make_optimizer(cfg).init(gen_params),
+        jnp.zeros((), jnp.int32),
+        ema_mean=jnp.zeros((d,), dtype) if cfg.moment_ema > 0 else None,
+        ema_second=jnp.zeros((d, d), dtype) if cfg.moment_ema > 0 else None,
+    )
 
 
 def train_step_impl(
@@ -111,22 +128,45 @@ def train_step_impl(
 
     def loss_fn(gen_params):
         out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, k, cfg.batch_size)
-        mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean, data_second)
+        if cfg.moment_ema > 0:
+            # Moment averaging (see config docstring): blend the batch
+            # moments into the running EMA (stop-gradient on the history,
+            # debiased like Adam), and penalize the EMA-vs-data residual.
+            g = cfg.moment_ema
+            bmean, bsecond = data_moments(out.tc)
+            new_em = g * jax.lax.stop_gradient(state.ema_mean) + (1 - g) * bmean
+            new_es = (g * jax.lax.stop_gradient(state.ema_second)
+                      + (1 - g) * bsecond)
+            debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
+            wm = 1.0 / (jnp.abs(data_mean) + cfg.moment_eps) ** 2
+            wc = 1.0 / (jnp.abs(data_second) + cfg.moment_eps) ** 2
+            me = jnp.mean(wm * (new_em / debias - data_mean) ** 2)
+            ce = jnp.mean(wc * (new_es / debias - data_second) ** 2)
+            mloss = cfg.mean_weight * me + cfg.cov_weight * ce
+            ema_out = (new_em, new_es)
+        else:
+            mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean, data_second)
+            ema_out = (None, None)
         pen = gen_lib.rate_penalty(cfg.gen, out.rates)
         stats = (
             me, ce, pen,
             jnp.mean(out.converged.astype(jnp.float32)),
             jnp.mean(out.diverged.astype(jnp.float32)),
+            ema_out,
         )
         return mloss + cfg.rate_cost * pen, stats
 
-    (loss, (me, ce, pen, fconv, fdiv)), grads = jax.value_and_grad(
+    (loss, (me, ce, pen, fconv, fdiv, ema_out)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.gen_params)
     updates, opt = tx.update(grads, state.opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, updates)
     return (
-        MMState(gen_params, opt, state.step + 1),
+        MMState(gen_params, opt, state.step + 1,
+                ema_mean=(jax.lax.stop_gradient(ema_out[0])
+                          if cfg.moment_ema > 0 else None),
+                ema_second=(jax.lax.stop_gradient(ema_out[1])
+                            if cfg.moment_ema > 0 else None)),
         MMMetrics(loss, me, ce, pen, fconv, fdiv),
     )
 

@@ -34,6 +34,10 @@ def make_parser() -> argparse.ArgumentParser:
     g.add_argument("--mean-weight", type=float, default=1.0)
     g.add_argument("--cov-weight", type=float, default=1.0)
     g.add_argument("--rate-cost", type=float, default=0.01)
+    g.add_argument("--moment-ema", type=float, default=0.0,
+                   help="EMA decay for the generated moments (e.g. 0.99): "
+                        "moment averaging across steps — effective "
+                        "generator sample count ~batch/(1-decay)")
     g.add_argument("--fixed-z", action="store_true",
                    help="common random numbers: one fixed quenched-noise "
                         "set every step (deterministic objective; escapes "
@@ -69,6 +73,7 @@ def main(argv=None):
         rate_cost=args.rate_cost,
         seed=args.seed,
         fixed_z=args.fixed_z,
+        moment_ema=args.moment_ema,
     )
     dataset = common.load_or_generate_dataset(args, gen_cfg)
     store = DataStore(args.datastore)

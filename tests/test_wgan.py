@@ -278,3 +278,36 @@ def test_moment_matching_fixed_z_is_deterministic():
     _, n2 = mm_lib.train_step(cfg2, state._replace(step=jnp.zeros((), jnp.int32)),
                               data_mean, data_second, _jax.random.PRNGKey(123))
     assert float(n1.loss) != float(n2.loss)
+
+
+def test_moment_ema_reduces_residual_noise():
+    """With params FIXED, the EMA'd moment residual after many steps is far
+    less noisy than single-batch residuals (effective sample grows)."""
+    import jax as _jax
+
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=8,
+                                      moment_ema=0.9, lr=0.0)
+    # data moments from a big reference sample of the SAME generator
+    out = gen_lib.sample_tuning_curves(TINY_GEN, gen_lib.init_params(TINY_GEN),
+                                       _jax.random.PRNGKey(99), 512)
+    data_mean, data_second = mm_lib.data_moments(out.tc)
+    state = mm_lib.init_state(cfg)
+    per_batch = []
+    for i in range(25):
+        state, m = mm_lib.train_step(cfg, state, data_mean, data_second,
+                                     _jax.random.PRNGKey(i))
+        per_batch.append(float(m.mean_err))
+    # lr=0: params never move, so mean_err measures pure sampling noise of
+    # the (EMA'd) moment estimate vs the reference moments; it must shrink
+    # as the EMA accumulates
+    assert per_batch[-1] < 0.25 * per_batch[0], per_batch[::6]
+
+    # without EMA, the residual stays at the single-batch noise level
+    cfg0 = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=8, lr=0.0)
+    state0 = mm_lib.init_state(cfg0)
+    raw = []
+    for i in range(25):
+        state0, m0 = mm_lib.train_step(cfg0, state0, data_mean, data_second,
+                                       _jax.random.PRNGKey(i))
+        raw.append(float(m0.mean_err))
+    assert per_batch[-1] < 0.5 * np.mean(raw[-5:])
