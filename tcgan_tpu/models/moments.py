@@ -77,15 +77,44 @@ class MMMetrics(NamedTuple):
     frac_diverged: jnp.ndarray
 
 
-def data_moments(tc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(mean vector, second-moment matrix) of a set of TC samples (B, D)."""
-    mean = jnp.mean(tc, axis=0)
-    second = tc.T @ tc / tc.shape[0]
+def data_moments(tc: jnp.ndarray,
+                 weights: jnp.ndarray | None = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean vector, second-moment matrix) of a set of TC samples (B, D),
+    optionally sample-weighted (0/1 masks)."""
+    if weights is None:
+        mean = jnp.mean(tc, axis=0)
+        second = tc.T @ tc / tc.shape[0]
+        return mean, second
+    w = weights.astype(tc.dtype)
+    n = jnp.maximum(w.sum(), 1.0)
+    mean = (tc * w[:, None]).sum(axis=0) / n
+    second = (tc * w[:, None]).T @ tc / n
     return mean, second
 
 
-def moment_loss(cfg: MomentMatchingConfig, gen_tc, data_mean, data_second):
-    gmean, gsecond = data_moments(gen_tc)
+def sample_mask(cfg: MomentMatchingConfig, out) -> jnp.ndarray:
+    """Per-critic-sample 0/1 mask matching the DATASET's selection
+    semantics: fake-truth generation keeps only circuits whose EVERY
+    battery condition converged (data/datasets.py), so the generated
+    moments must apply the same selection — otherwise ceiling-clamped
+    non-converged samples poison the second moments quadratically and the
+    optimizer is driven AWAY from any truth that occasionally diverges
+    (observed: loss(truth) = 489 vs loss(wrong-but-stable point) = 0.004
+    on the near-critical battery; BASELINE.md round-2b). Non-differentiable
+    bookkeeping -> stop_gradient."""
+    import jax
+
+    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
+    ok = jnp.min(conv.astype(jnp.float32), axis=-1)  # (B,)
+    if cfg.gen.track_offset_identity:
+        return ok
+    return jnp.repeat(ok, cfg.gen.n_probe)
+
+
+def moment_loss(cfg: MomentMatchingConfig, gen_tc, data_mean, data_second,
+                weights=None):
+    gmean, gsecond = data_moments(gen_tc, weights)
     wm = 1.0 / (jnp.abs(data_mean) + cfg.moment_eps) ** 2
     wc = 1.0 / (jnp.abs(data_second) + cfg.moment_eps) ** 2
     mean_err = jnp.mean(wm * (gmean - data_mean) ** 2)
@@ -128,12 +157,13 @@ def train_step_impl(
 
     def loss_fn(gen_params):
         out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, k, cfg.batch_size)
+        w = sample_mask(cfg, out)
         if cfg.moment_ema > 0:
             # Moment averaging (see config docstring): blend the batch
             # moments into the running EMA (stop-gradient on the history,
             # debiased like Adam), and penalize the EMA-vs-data residual.
             g = cfg.moment_ema
-            bmean, bsecond = data_moments(out.tc)
+            bmean, bsecond = data_moments(out.tc, w)
             new_em = g * jax.lax.stop_gradient(state.ema_mean) + (1 - g) * bmean
             new_es = (g * jax.lax.stop_gradient(state.ema_second)
                       + (1 - g) * bsecond)
@@ -145,7 +175,8 @@ def train_step_impl(
             mloss = cfg.mean_weight * me + cfg.cov_weight * ce
             ema_out = (new_em, new_es)
         else:
-            mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean, data_second)
+            mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean,
+                                          data_second, weights=w)
             ema_out = (None, None)
         pen = gen_lib.rate_penalty(cfg.gen, out.rates)
         stats = (
