@@ -77,13 +77,24 @@ def sample_conditional(cfg: CWGANConfig, gen_params, key, batch):
     return tag_with_conditions(cfg, tc_by_cond), out
 
 
-def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key):
-    from tcgan_tpu.models.wgan import gradient_penalty
+def fake_row_weights(cfg: CWGANConfig, out) -> jnp.ndarray | None:
+    """Per-tagged-row weights: the conditional critic's rows are
+    (circuit, condition) pairs, so the survivor mask applies per SOLVE
+    (finer than the unconditional per-circuit mask)."""
+    if not cfg.reject_unconverged:
+        return None
+    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
+    return conv.astype(cfg.gen.dtype).reshape(-1)
+
+
+def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
+                   fake_w=None):
+    from tcgan_tpu.models.wgan import _wmean, gradient_penalty
 
     d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
     gp = gradient_penalty(cfg, critic_params, real, fake, key)
-    wasserstein = jnp.mean(d_real) - jnp.mean(d_fake)
+    wasserstein = jnp.mean(d_real) - _wmean(d_fake, fake_w)
     loss = -wasserstein + cfg.gp_lambda * gp
     # Rank accuracy with the same semantics as wgan.critic_loss_fn (fraction
     # of comparable (real, fake) pairs ranked correctly) — here "comparable"
@@ -99,6 +110,8 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key):
 def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
     """Generator loss (same signature as wgan.gen_loss_fn): negative critic
     score of condition-tagged samples + rate penalty."""
+    from tcgan_tpu.models.wgan import _wmean
+
     fake, out = sample_conditional(cfg, gen_params, key, cfg.batch_size)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
     pen = gen_lib.rate_penalty(cfg.gen, out.rates)
@@ -108,7 +121,8 @@ def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
     )
-    return -jnp.mean(d_fake) + cfg.rate_cost * pen, stats
+    return (-_wmean(d_fake, fake_row_weights(cfg, out))
+            + cfg.rate_cost * pen, stats)
 
 
 def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
@@ -148,10 +162,13 @@ def train_step_impl(
         critic_params, critic_opt = carry
         real, k = inp
         k_z, k_gp = jax.random.split(k)
-        fake, _ = sample_conditional(cfg, state.gen_params, k_z, cfg.batch_size)
+        fake, fout = sample_conditional(cfg, state.gen_params, k_z,
+                                        cfg.batch_size)
         fake = jax.lax.stop_gradient(fake)
+        fake_w = fake_row_weights(cfg, fout)
         (loss, (w, gp, acc)), grads = jax.value_and_grad(
-            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp), has_aux=True
+            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp,
+                                      fake_w=fake_w), has_aux=True
         )(critic_params)
         updates, critic_opt = critic_tx.update(grads, critic_opt, critic_params)
         critic_params = optax.apply_updates(critic_params, updates)

@@ -50,6 +50,16 @@ class WGANConfig:
     beta2: float = 0.9
     rate_cost: float = 0.01  # generator penalty on rates above soft bound
     clip_grad: float = 0.0  # global-norm gradient clip (0 = off)
+    # Reject non-converged fake samples from the critic objective (the
+    # reference fixed-point GAN's semantics, SURVEY.md §3.4): fake-truth
+    # DATA keeps only circuits whose every condition converged, so scoring
+    # ceiling-clamped unconverged fakes against survivor-only data hands
+    # the critic a spurious outlier signal that pushes the generator away
+    # from any truth that occasionally diverges (measured for the moment
+    # objective in BASELINE.md round-2b; same mechanism here). Off by
+    # default: with the standard batteries convergence is ~100% and the
+    # masking is a no-op.
+    reject_unconverged: bool = False
     # exponential lr decay: lr * rate^(step/steps); 0 steps = constant lr
     lr_decay_steps: int = 0
     lr_decay_rate: float = 0.5
@@ -157,14 +167,39 @@ def gradient_penalty(cfg: WGANConfig, critic_params, real, fake, key):
     return jnp.mean((norms - 1.0) ** 2)
 
 
-def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key):
+def fake_sample_weights(cfg: WGANConfig, out) -> jnp.ndarray | None:
+    """Per-critic-sample 0/1 weights for fake samples, matching the
+    dataset's survivor selection (see ``reject_unconverged``). None when
+    rejection is off."""
+    if not cfg.reject_unconverged:
+        return None
+    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
+    ok = jnp.min(conv.astype(cfg.gen.dtype), axis=-1)  # (B,)
+    if cfg.gen.track_offset_identity:
+        return ok
+    return jnp.repeat(ok, cfg.gen.samples_per_circuit())
+
+
+def _wmean(x, w):
+    if w is None:
+        return jnp.mean(x)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key,
+                   fake_w=None):
     d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
     gp = gradient_penalty(cfg, critic_params, real, fake, key)
-    wasserstein = jnp.mean(d_real) - jnp.mean(d_fake)
+    wasserstein = jnp.mean(d_real) - _wmean(d_fake, fake_w)
     loss = -wasserstein + cfg.gp_lambda * gp
-    # rank accuracy: how often a real sample outscores a fake one
-    acc = jnp.mean((d_real[:, None] > d_fake[None, :]).astype(real.dtype))
+    # rank accuracy: how often a real sample outscores a (valid) fake one
+    pairs = (d_real[:, None] > d_fake[None, :]).astype(real.dtype)
+    if fake_w is None:
+        acc = jnp.mean(pairs)
+    else:
+        acc = jnp.sum(pairs * fake_w[None, :]) / jnp.maximum(
+            d_real.shape[0] * jnp.sum(fake_w), 1.0)
     return loss, (wasserstein, gp, acc)
 
 
@@ -172,7 +207,8 @@ def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
     out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, key, cfg.batch_size)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, out.tc)
     pen = gen_lib.rate_penalty(cfg.gen, out.rates)
-    loss = -jnp.mean(d_fake) + cfg.rate_cost * pen
+    loss = -_wmean(d_fake, fake_sample_weights(cfg, out)) \
+        + cfg.rate_cost * pen
     stats = (
         pen,
         jnp.mean(out.converged.astype(jnp.float32)),
@@ -199,12 +235,14 @@ def train_step_impl(
         critic_params, critic_opt = carry
         real, k = inp
         k_z, k_gp = jax.random.split(k)
-        fake = gen_lib.sample_tuning_curves(
+        fout = gen_lib.sample_tuning_curves(
             cfg.gen, state.gen_params, k_z, cfg.batch_size
-        ).tc
-        fake = jax.lax.stop_gradient(fake)
+        )
+        fake = jax.lax.stop_gradient(fout.tc)
+        fake_w = fake_sample_weights(cfg, fout)
         (loss, (w, gp, acc)), grads = jax.value_and_grad(
-            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp), has_aux=True
+            lambda cp: critic_loss_fn(cfg, cp, real, fake, k_gp,
+                                      fake_w=fake_w), has_aux=True
         )(critic_params)
         updates, critic_opt = critic_tx.update(grads, critic_opt, critic_params)
         critic_params = optax.apply_updates(critic_params, updates)

@@ -127,6 +127,11 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--rate-cost", type=float, default=0.01)
     g.add_argument("--normalize-input", action="store_true",
                    help="scale critic inputs by 1/mean dataset tuning curve")
+    g.add_argument("--reject-unconverged", action="store_true",
+                   help="drop non-converged fake samples from the critic "
+                        "objective (matches the fake-truth dataset's "
+                        "survivor selection; the reference fixed-point "
+                        "GAN's reject semantics)")
     g.add_argument("--clip-grad", type=float, default=0.0,
                    help="global-norm gradient clip for both nets (0 = off)")
     g.add_argument("--lr-decay-steps", type=int, default=0,

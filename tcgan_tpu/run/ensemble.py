@@ -129,6 +129,7 @@ def _run(args, gen_cfg, step_fn, model) -> int:
         lr_decay_steps=args.lr_decay_steps,
         lr_decay_rate=args.lr_decay_rate,
         ema_decay=args.gen_ema,
+        reject_unconverged=getattr(args, "reject_unconverged", False),
         seed=args.seed,
     )
     K = args.ensemble

@@ -83,6 +83,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         lr_decay_steps=args.lr_decay_steps,
         lr_decay_rate=args.lr_decay_rate,
         ema_decay=args.gen_ema,
+        reject_unconverged=getattr(args, "reject_unconverged", False),
         seed=args.seed,
     )
 

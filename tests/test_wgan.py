@@ -311,3 +311,41 @@ def test_moment_ema_reduces_residual_noise():
                                        _jax.random.PRNGKey(i))
         raw.append(float(m0.mean_err))
     assert per_batch[-1] < 0.5 * np.mean(raw[-5:])
+
+
+def test_reject_unconverged_fakes():
+    """With rejection on, the generator loss ignores non-converged fakes:
+    when everything converges it equals the unweighted loss; when some
+    samples diverge the two differ."""
+    import jax as _jax
+
+    cfg_off = tiny_wgan_cfg(batch_size=4)
+    cfg_on = tiny_wgan_cfg(batch_size=4, reject_unconverged=True)
+    state = wgan_lib.init_state(cfg_off)
+    k = _jax.random.PRNGKey(0)
+    l_off, _ = wgan_lib.gen_loss_fn(cfg_off, state.gen_params,
+                                    state.critic_params, k)
+    l_on, _ = wgan_lib.gen_loss_fn(cfg_on, state.gen_params,
+                                   state.critic_params, k)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-12)
+
+    # hostile params: strong coupling -> some divergence on the tiny grid
+    import dataclasses as _dc
+
+    hostile = gen_lib.init_params(TINY_GEN,
+                                  J=((5.0, 0.04), (5.0, 0.03)),
+                                  D=((0.5, 0.08), (0.5, 0.08)),
+                                  S=((0.25, 0.1), (0.25, 0.1)))
+    out = gen_lib.sample_tuning_curves(TINY_GEN, hostile, k, 4)
+    if bool(out.converged.all()):  # pragma: no cover - config guard
+        pytest.skip("hostile circuit unexpectedly converged everywhere")
+    lh_off, _ = wgan_lib.gen_loss_fn(cfg_off, hostile, state.critic_params, k)
+    lh_on, _ = wgan_lib.gen_loss_fn(cfg_on, hostile, state.critic_params, k)
+    assert float(lh_on) != float(lh_off)
+    assert np.isfinite(float(lh_on))
+
+    # full train step runs with rejection enabled
+    real = 0.1 * _jax.random.normal(
+        k, (cfg_on.n_critic, cfg_on.critic_batch, cfg_on.gen.tc_dim)) + 1.0
+    new_state, m = wgan_lib.train_step(cfg_on, cfg_on.n_critic, state, real, k)
+    assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
