@@ -82,10 +82,13 @@ def plot_ensemble(rec: EnsembleRecord, out_path, jacobian=None):
         ax.set_xlabel("singular value (identifiability)")
         ax.set_ylabel("member spread (log-param std)")
         ax.set_title("seed spread vs identifiability")
-        from scipy import stats
 
-        rho, p = stats.spearmanr(np.log(s + 1e-300),
-                                 np.log(spread + 1e-9))
+        def _spearman(a, b):  # scipy-free (scipy may not be in the image)
+            ra = np.argsort(np.argsort(a)).astype(np.float64)
+            rb = np.argsort(np.argsort(b)).astype(np.float64)
+            return float(np.corrcoef(ra, rb)[0, 1])
+
+        rho = _spearman(np.log(s + 1e-300), np.log(spread + 1e-9))
         summary["spread_spectrum_spearman"] = float(rho)
         summary["spread_strongest3"] = float(spread[:3].mean())
         summary["spread_flattest3"] = float(spread[-3:].mean())

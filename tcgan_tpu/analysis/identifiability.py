@@ -168,12 +168,11 @@ def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0,
     z = weights_lib.sample_z(jax.random.PRNGKey(seed), (n_circuits,),
                              gen_cfg.ssn.N, dtype=gen_cfg.dtype)
     fn = lambda t: moment_fn(gen_cfg, t, z)
-    moments = jax.jit(fn)(theta)
+    moments, vjp_fn = jax.vjp(fn, theta)  # one forward serves both
     M = moments.shape[0]
     if chunk is None or chunk >= M:
         jac = jax.jit(jax.jacrev(fn))(theta)
     else:
-        _, vjp_fn = jax.vjp(fn, theta)
         pull = jax.jit(lambda cts: jax.vmap(lambda ct: vjp_fn(ct)[0])(cts))
         eye = jnp.eye(M, dtype=moments.dtype)
         rows = []
@@ -233,10 +232,15 @@ def identifiability_report(jac: np.ndarray,
     }
 
 
-def battery_score(gen_cfg, J, D, S, n_circuits: int = 256,
-                  seed: int = 0) -> Dict:
-    """E-/D-optimality scores for a stimulus battery + readout config."""
-    jac, moments = moment_jacobian(gen_cfg, J, D, S, n_circuits, seed)
+def battery_score(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0,
+                  jac: np.ndarray | None = None,
+                  moments: np.ndarray | None = None) -> Dict:
+    """E-/D-optimality scores for a stimulus battery + readout config.
+
+    Pass precomputed (jac, moments) to reuse a Jacobian the caller also
+    needs (the CLI does — one scoring implementation, shared)."""
+    if jac is None or moments is None:
+        jac, moments = moment_jacobian(gen_cfg, J, D, S, n_circuits, seed)
     rep = identifiability_report(jac)
     s = np.maximum(np.asarray(rep["singular_values"]), 1e-300)
     rep["d_opt_log10"] = float(np.sum(np.log10(s)))  # log10 det(J^T J)^0.5
@@ -455,13 +459,8 @@ def main(argv=None) -> int:
         jac, moments = moment_jacobian(cfg_c, J, D, S,
                                        n_circuits=args.n_circuits,
                                        seed=args.seed)
-        rep = identifiability_report(jac)
-        s = np.maximum(np.asarray(rep["singular_values"]), 1e-300)
-        rep["d_opt_log10"] = float(np.sum(np.log10(s)))
-        rep["n_moments"] = int(jac.shape[0])
-        rep["moment_scale"] = float(np.abs(moments).mean())
-        rep["frac_converged"], rep["circuit_yield"] = convergence_fraction(
-            cfg_c, J, D, S, seed=args.seed)
+        rep = battery_score(cfg_c, J, D, S, seed=args.seed, jac=jac,
+                            moments=moments)
         rep["contrasts"] = list(contrasts)
         if i == 0 and args.save_jacobian:
             np.savez(args.save_jacobian, jacobian=jac, moments=moments,

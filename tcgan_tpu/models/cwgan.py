@@ -93,17 +93,30 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
 
     d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
-    gp = gradient_penalty(cfg, critic_params, real, fake, key)
+    # Same GP guard as wgan.critic_loss_fn: keep interpolates away from
+    # rejected (clamped) fake rows.
+    fake_gp = fake
+    if fake_w is not None:
+        fake_gp = jnp.where(fake_w[:, None] > 0.5, fake,
+                            real[: fake.shape[0]])
+    gp = gradient_penalty(cfg, critic_params, real, fake_gp, key)
     wasserstein = jnp.mean(d_real) - _wmean(d_fake, fake_w)
     loss = -wasserstein + cfg.gp_lambda * gp
     # Rank accuracy with the same semantics as wgan.critic_loss_fn (fraction
     # of comparable (real, fake) pairs ranked correctly) — here "comparable"
     # means same stimulus condition, so pair within conditions only. Layout
     # is condition-major within each circuit: row index = b * n_stim + s.
+    # Rejected fake rows are excluded (weighted), as in wgan.
     S = cfg.gen.n_stim
     dr = d_real.reshape(-1, S)  # (B_real, S)
     df = d_fake.reshape(-1, S)  # (B_fake, S)
-    acc = jnp.mean((dr[:, None, :] > df[None, :, :]).astype(real.dtype))
+    pairs = (dr[:, None, :] > df[None, :, :]).astype(real.dtype)
+    if fake_w is None:
+        acc = jnp.mean(pairs)
+    else:
+        wf = fake_w.reshape(-1, S)  # (B_fake, S)
+        acc = jnp.sum(pairs * wf[None, :, :]) / jnp.maximum(
+            dr.shape[0] * jnp.sum(wf), 1.0)
     return loss, (wasserstein, gp, acc)
 
 

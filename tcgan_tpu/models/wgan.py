@@ -190,7 +190,17 @@ def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key,
                    fake_w=None):
     d_real = critic_lib.apply(cfg.critic_cfg, critic_params, real)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, fake)
-    gp = gradient_penalty(cfg, critic_params, real, fake, key)
+    # With rejection on, keep the GP interpolates away from the rejected
+    # (ceiling-clamped) fakes too — otherwise the penalty still forces
+    # unit critic slope along real->outlier rays, partially re-creating
+    # the spurious signal the masking removes. Substituting real rows for
+    # rejected fakes keeps interpolates in-distribution (GP is a slope
+    # regularizer, not a distribution estimate).
+    fake_gp = fake
+    if fake_w is not None:
+        fake_gp = jnp.where(fake_w[:, None] > 0.5, fake,
+                            real[: fake.shape[0]])
+    gp = gradient_penalty(cfg, critic_params, real, fake_gp, key)
     wasserstein = jnp.mean(d_real) - _wmean(d_fake, fake_w)
     loss = -wasserstein + cfg.gp_lambda * gp
     # rank accuracy: how often a real sample outscores a (valid) fake one
