@@ -65,7 +65,7 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     solve = jax.jit(
         lambda W: solve_fixed_point_pallas(
-            cfg, W, I_ext, block_b=16, check_every=32, layout="rows",
+            cfg, W, I_ext, block_b=16, check_every=32,
             two_phase=True, refine=True, interpret=not on_tpu,
         )
     )
@@ -81,14 +81,12 @@ def main() -> int:
         ref = jax.jit(lambda w: fixed_point.solve_fixed_point(
             cfg, w, I_ext, check_every=16))(Wp)
         variants = dict(
-            refine=dict(layout="rows", two_phase=True, refine=True,
+            refine=dict(two_phase=True, refine=True,
                         block_b=16, check_every=32),
-            two_phase=dict(layout="rows", two_phase=True, refine=False,
+            two_phase=dict(two_phase=True, refine=False,
                            block_b=16, check_every=16),
-            single_phase=dict(layout="rows", two_phase=False, refine=False,
+            single_phase=dict(two_phase=False, refine=False,
                               block_b=4, check_every=8),
-            transposed=dict(layout="t", two_phase=False, refine=False,
-                            block_b=16, check_every=16),
         )
         ok = True
         for name, kw in variants.items():
@@ -127,7 +125,7 @@ def main() -> int:
                                    max_iter=4000)
     solve_expo = jax.jit(
         lambda W: solve_fixed_point_pallas(
-            cfg_expo, W, I_ext, block_b=16, check_every=32, layout="rows",
+            cfg_expo, W, I_ext, block_b=16, check_every=32,
             two_phase=True, refine=True, interpret=not on_tpu,
         )
     )
@@ -145,7 +143,7 @@ def main() -> int:
     # points / residual criterion; --accel anderson), on both steppers.
     def _rate_accel(c):
         s = jax.jit(lambda W: solve_fixed_point_pallas(
-            c, W, I_ext, block_b=16, check_every=32, layout="rows",
+            c, W, I_ext, block_b=16, check_every=32,
             two_phase=True, refine=True, accel=True,
             interpret=not on_tpu))
         r = s(W)
@@ -157,11 +155,16 @@ def main() -> int:
         t = (time.perf_counter() - t0) / REPS
         return B_TPU * S_cond / t, float(r.converged.mean())
 
+    # Independent guards: a failure in one stepper variant must not erase
+    # the other's results.
     try:
         rate_aa, aa_conv = _rate_accel(cfg)
+    except Exception:  # pragma: no cover
+        rate_aa = aa_conv = float("nan")
+    try:
         rate_expo_aa, expo_aa_conv = _rate_accel(cfg_expo)
     except Exception:  # pragma: no cover
-        rate_aa = aa_conv = rate_expo_aa = expo_aa_conv = float("nan")
+        rate_expo_aa = expo_aa_conv = float("nan")
 
     # Sustained solver rate: marginal cost between two rep counts, each
     # ending in one scalar device->host transfer — cancels dispatch
@@ -190,6 +193,55 @@ def main() -> int:
         rate_sustained = _sustained()
     except Exception:  # pragma: no cover
         rate_sustained = float("nan")
+
+    # Mesh mode: shard the solver batch over ALL available devices
+    # (weak scaling: per-chip batch held at B_TPU) and report per-chip
+    # rate + scaling efficiency vs the single-chip headline. On this
+    # sandbox's single chip it trivially measures ~1.0 efficiency, but the
+    # code path is driver-measurable the day multi-chip hardware exists
+    # ([BASELINE] C5 "scales linearly with chips"; VERDICT r2 #8).
+    def _mesh_rate():
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tcgan_tpu import parallel as par
+
+        n_dev = len(jax.devices())
+        mesh = par.make_mesh(n_batch=n_dev)
+        kz = jax.random.PRNGKey(7)
+        z_all = weights.sample_z(kz, (B_TPU * n_dev,), cfg.N)
+        W_all = weights.build_weight(J, D, S, z_all, x)
+        W_all = jax.device_put(
+            W_all, NamedSharding(mesh, P(par.BATCH_AXIS)))
+
+        inner = lambda w: solve_fixed_point_pallas(
+            cfg, w, I_ext, block_b=16, check_every=32,
+            two_phase=True, refine=True, interpret=not on_tpu)
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh
+        # annotation, so shard_map's vma check cannot see through it
+        sharded = jax.jit(jax.shard_map(
+            inner, mesh=mesh, in_specs=P(par.BATCH_AXIS),
+            out_specs=P(par.BATCH_AXIS), check_vma=False))
+        r = sharded(W_all)
+        jax.block_until_ready(r.r)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r = sharded(W_all)
+        jax.block_until_ready(r.r)
+        t = (time.perf_counter() - t0) / REPS
+        total = B_TPU * n_dev * S_cond / t
+        per_chip = total / n_dev
+        return {
+            "n_devices": n_dev,
+            "rate_total": round(total, 1),
+            "rate_per_chip": round(per_chip, 1),
+            "scaling_efficiency": round(per_chip / rate_tpu, 3),
+            "frac_converged": round(float(r.converged.mean()), 4),
+        }
+
+    try:
+        mesh_section = _mesh_rate()
+    except Exception as e:  # pragma: no cover
+        mesh_section = {"error": repr(e)}
 
     # Full WGAN-GP step time (IFT gradients, Pallas forward) at the
     # standard config — marginal cost, matching BASELINE.md's table.
@@ -284,6 +336,7 @@ def main() -> int:
             "anderson_frac_converged": round(aa_conv, 4),
             "tpu_rate_expo_anderson": round(rate_expo_aa, 1),
             "expo_anderson_frac_converged": round(expo_aa_conv, 4),
+            "mesh": mesh_section,
         },
     }
     print(json.dumps(result))

@@ -44,6 +44,12 @@ def plot_ensemble(rec: EnsembleRecord, out_path, jacobian=None):
     import matplotlib.pyplot as plt
 
     K = rec.n_members
+    if jacobian is not None and not rec.params:
+        # An aborted run may have no stacked-params artifact
+        # (ensemble_params.npz); skip the spread panel rather than KeyError.
+        print("ensemble_view: no ensemble_params.npz in the run dir — "
+              "skipping the spread-vs-spectrum panel", file=sys.stderr)
+        jacobian = None
     ncols = 3
     nrows = 2 + (1 if jacobian is not None else 0)
     fig, axes = plt.subplots(nrows, ncols, figsize=(15, 4 * nrows),

@@ -36,6 +36,20 @@ from tcgan_tpu.models.wgan import StepMetrics, TrainState, WGANConfig
 class CWGANConfig(WGANConfig):
     """WGANConfig whose critic sees (per-condition TC block, condition)."""
 
+    # Per-(condition, probe) critic input scale, flattened (S*P,) plus 2
+    # trailing scales for the (bandwidth, contrast) tag features — the
+    # per-condition normalization lever (BASELINE.md rec13 stall: a single
+    # global per-feature scale lets heavy-tailed near-critical conditions
+    # swamp the critic's per-batch signal). Applied at tagging time so the
+    # real and fake sides are normalized identically and the GP
+    # interpolates live in the normalized space. None = use the plain
+    # ``input_scale`` (condition-averaged) path.
+    cond_input_scale: Tuple[float, ...] | None = None
+    # Per-condition loss weights (S,), mean-1: upweights named conditions
+    # (e.g. the informative near-critical contrast) in the critic's
+    # Wasserstein objective and in the generator loss. None = uniform.
+    cond_weight: Tuple[float, ...] | None = None
+
     @property
     def cond_dim(self) -> int:
         return 2  # (bandwidth, contrast)
@@ -46,7 +60,8 @@ class CWGANConfig(WGANConfig):
             in_dim=self.gen.n_probe + self.cond_dim,
             layers=self.critic_layers,
             dtype=self.gen.dtype,
-            input_scale=self.input_scale,
+            input_scale=None if self.cond_input_scale is not None
+            else self.input_scale,
         )
 
     @property
@@ -58,12 +73,36 @@ def tag_with_conditions(cfg: CWGANConfig, tc_by_cond: jnp.ndarray) -> jnp.ndarra
     """(B, S, P) per-condition probe blocks -> (B*S, P + 2) tagged samples.
 
     Condition features are appended in battery order; layout is
-    condition-major within each circuit so real/fake stacks align.
+    condition-major within each circuit so real/fake stacks align. When
+    ``cfg.cond_input_scale`` is set, probe blocks are scaled per
+    (condition, probe) and tag features per feature before concatenation.
     """
     B, S, P = tc_by_cond.shape
     feats = cfg.gen.condition_features().astype(tc_by_cond.dtype)  # (S, 2)
+    if cfg.cond_input_scale is not None:
+        scale = jnp.asarray(cfg.cond_input_scale, dtype=tc_by_cond.dtype)
+        tc_by_cond = tc_by_cond * scale[: S * P].reshape(S, P)
+        feats = feats * scale[S * P:]
     feats = jnp.broadcast_to(feats[None], (B, S, feats.shape[-1]))
     return jnp.concatenate([tc_by_cond, feats], axis=-1).reshape(B * S, -1)
+
+
+def cond_row_weights(cfg: CWGANConfig, n_rows: int,
+                     dtype=None) -> jnp.ndarray | None:
+    """Broadcast ``cfg.cond_weight`` (S,) to per-row weights (n_rows,) for
+    the condition-major (circuit, condition) row layout. None when off."""
+    if cfg.cond_weight is None:
+        return None
+    w = jnp.asarray(cfg.cond_weight, dtype=dtype or cfg.gen.dtype)
+    return jnp.tile(w, n_rows // w.shape[0])
+
+
+def _combine_w(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a * b
 
 
 def sample_conditional(cfg: CWGANConfig, gen_params, key, batch):
@@ -78,13 +117,18 @@ def sample_conditional(cfg: CWGANConfig, gen_params, key, batch):
 
 
 def fake_row_weights(cfg: CWGANConfig, out) -> jnp.ndarray | None:
-    """Per-tagged-row weights: the conditional critic's rows are
-    (circuit, condition) pairs, so the survivor mask applies per SOLVE
-    (finer than the unconditional per-circuit mask)."""
+    """Per-tagged-row weights matching the fake-truth dataset's survivor
+    selection: the dataset keeps only circuits whose EVERY battery
+    condition converged, so the mask is per CIRCUIT (all-conditions),
+    broadcast over that circuit's condition rows. (A per-solve mask would
+    let converged rows of partially-diverged circuits into the fake
+    conditional distribution while the real data excludes those circuits
+    entirely — the selection mismatch the flag exists to remove.)"""
     if not cfg.reject_unconverged:
         return None
     conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
-    return conv.astype(cfg.gen.dtype).reshape(-1)
+    ok = jnp.min(conv.astype(cfg.gen.dtype), axis=-1, keepdims=True)  # (B,1)
+    return jnp.broadcast_to(ok, conv.shape).reshape(-1)
 
 
 def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
@@ -100,7 +144,10 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
         fake_gp = jnp.where(fake_w[:, None] > 0.5, fake,
                             real[: fake.shape[0]])
     gp = gradient_penalty(cfg, critic_params, real, fake_gp, key)
-    wasserstein = jnp.mean(d_real) - _wmean(d_fake, fake_w)
+    real_cw = cond_row_weights(cfg, d_real.shape[0], dtype=real.dtype)
+    fake_cw = cond_row_weights(cfg, d_fake.shape[0], dtype=real.dtype)
+    wasserstein = (_wmean(d_real, real_cw)
+                   - _wmean(d_fake, _combine_w(fake_w, fake_cw)))
     loss = -wasserstein + cfg.gp_lambda * gp
     # Rank accuracy with the same semantics as wgan.critic_loss_fn (fraction
     # of comparable (real, fake) pairs ranked correctly) — here "comparable"
@@ -134,8 +181,9 @@ def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
     )
-    return (-_wmean(d_fake, fake_row_weights(cfg, out))
-            + cfg.rate_cost * pen, stats)
+    w = _combine_w(fake_row_weights(cfg, out),
+                   cond_row_weights(cfg, d_fake.shape[0], dtype=fake.dtype))
+    return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats)
 
 
 def init_state(cfg: CWGANConfig, key: jax.Array | None = None,

@@ -86,6 +86,63 @@ ensemble_train_step = jax.jit(
 )
 
 
+def init_mm_ensemble(
+    cfg,
+    n_members: int,
+    key: jax.Array,
+    gen_init: Dict[str, jnp.ndarray] | None = None,
+    start_jitter: float = 0.0,
+):
+    """Multi-start MOMENT-MATCHING ensemble state (MMState with a member
+    axis on every leaf, including the moment-EMA buffers). Same jitter
+    semantics as :func:`init_ensemble` (member 0 keeps the exact start).
+
+    Why: moment matching with moment-EMA is the estimator that actually
+    recovered the near-critical battery's parameters (BASELINE.md mm13fix),
+    so its seed-to-seed spread vs the identifiability spectrum is the
+    multi-start analysis one wants (VERDICT r2 #9)."""
+    from tcgan_tpu.models import moments as mm_lib
+
+    k_members = jax.random.split(key, n_members)
+
+    def init_one(k):
+        gp = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+        if start_jitter > 0.0:
+            leaves, treedef = jax.tree.flatten(gp)
+            ks = jax.random.split(k, len(leaves))
+            leaves = [
+                p + start_jitter * jax.random.normal(kk, p.shape, p.dtype)
+                for p, kk in zip(leaves, ks)
+            ]
+            gp = jax.tree.unflatten(treedef, leaves)
+        return mm_lib.init_state(cfg, gen_init=gp)
+
+    states = jax.vmap(init_one)(k_members)
+    if start_jitter > 0.0:
+        base = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+        gp0 = jax.tree.map(
+            lambda stacked, b: stacked.at[0].set(b), states.gen_params, base
+        )
+        states = states._replace(gen_params=gp0)
+    return states
+
+
+def make_mm_ensemble_step_impl(impl=None):
+    """Member-vmapped moment-matching ``train_step_impl``
+    (``(cfg, state, data_mean, data_second, key)`` signature; the data
+    moments are shared across members)."""
+    if impl is None:
+        from tcgan_tpu.models import moments as mm_lib
+
+        impl = mm_lib.train_step_impl
+
+    def ensemble_impl(cfg, states, data_mean, data_second, keys):
+        return jax.vmap(impl, in_axes=(None, 0, None, None, 0))(
+            cfg, states, data_mean, data_second, keys)
+
+    return ensemble_impl
+
+
 def member_params(cfg: WGANConfig, states: TrainState, member: int):
     """Positive-space (J, D, S) of one member (host NumPy)."""
     import numpy as np

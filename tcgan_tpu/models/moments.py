@@ -49,6 +49,14 @@ class MomentMatchingConfig:
     # (BASELINE.md round-2b stall analysis). The residual Monte-Carlo error
     # of the z-set itself shrinks with batch_size.
     fixed_z: bool = False
+    # Survivor-selection-consistent generated moments: mask non-converged
+    # circuits out of the generated moments, matching the fake-truth
+    # dataset's keep-only-fully-converged selection (see sample_mask).
+    # Default ON — the unmasked objective actively repels the truth on
+    # fragile batteries (BASELINE.md round-2b, loss(truth)=489 vs 0.004).
+    # Turn OFF only to reproduce pre-round-2b unmasked baselines; this
+    # changes loss values for runs with partial divergence.
+    survivor_mask: bool = True
     # Moment averaging: exponential moving average of the GENERATED moments
     # across steps (decay gamma; 0 = off). The loss residual uses the EMA,
     # so generator-side Monte-Carlo error shrinks by ~(1-gamma) while fresh
@@ -157,7 +165,7 @@ def train_step_impl(
 
     def loss_fn(gen_params):
         out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, k, cfg.batch_size)
-        w = sample_mask(cfg, out)
+        w = sample_mask(cfg, out) if cfg.survivor_mask else None
         if cfg.moment_ema > 0:
             # Moment averaging (see config docstring): blend the batch
             # moments into the running EMA (stop-gradient on the history,

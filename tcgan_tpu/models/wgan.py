@@ -63,6 +63,12 @@ class WGANConfig:
     # exponential lr decay: lr * rate^(step/steps); 0 steps = constant lr
     lr_decay_steps: int = 0
     lr_decay_rate: float = 0.5
+    # critic-side decay horizon: -1 = follow lr_decay_steps; 0 = constant
+    # critic lr even when the generator decays. Keeping the critic lr
+    # undecayed preserves its per-batch signal on heavy-tailed
+    # (near-critical) conditions after the generator schedule has cooled
+    # (BASELINE.md rec13 stall diagnosis).
+    critic_lr_decay_steps: int = -1
     # exponential moving average of the generator params (0 = off) — a
     # cheap variance-reduction lever for the recovered parameter estimate
     ema_decay: float = 0.0
@@ -117,9 +123,10 @@ class StepMetrics(NamedTuple):
 
 
 def make_optimizers(cfg: WGANConfig):
-    def tx(lr):
-        if cfg.lr_decay_steps > 0:
-            lr = optax.exponential_decay(lr, cfg.lr_decay_steps,
+    def tx(lr, decay_steps=None):
+        decay_steps = cfg.lr_decay_steps if decay_steps is None else decay_steps
+        if decay_steps > 0:
+            lr = optax.exponential_decay(lr, decay_steps,
                                          cfg.lr_decay_rate)
         adam = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
         if cfg.clip_grad > 0:
@@ -131,7 +138,9 @@ def make_optimizers(cfg: WGANConfig):
         # step where a loss/grad overflows despite the solver-side clamps.
         return optax.apply_if_finite(adam, max_consecutive_errors=100)
 
-    return tx(cfg.lr_gen), tx(cfg.lr_critic)
+    critic_decay = (cfg.lr_decay_steps if cfg.critic_lr_decay_steps < 0
+                    else cfg.critic_lr_decay_steps)
+    return tx(cfg.lr_gen), tx(cfg.lr_critic, critic_decay)
 
 
 def init_state(cfg: WGANConfig, key: jax.Array | None = None,

@@ -64,7 +64,6 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
         return solve_fixed_point_pallas(
             cfg, W, I_ext, block_b=cfg.pallas_block_b,
             check_every=max(cfg.check_every, 1),
-            layout=cfg.pallas_layout,
             two_phase=cfg.pallas_two_phase,
             refine=cfg.pallas_refine,
             accel=(cfg.accel == "anderson"),
@@ -171,11 +170,16 @@ def solve_fixed_point(
                 denom + 1e-30)
             h_prev = s.r_in_prev + s.f_prev  # H(r_prev)
             r_aa = r_new - gamma * (r_new - h_prev)
+            r_aa = jnp.clip(r_aa, 0.0, r_ceiling)
+            # Skip the extrapolation when it would overshoot past the
+            # divergence ceiling: the NEXT chunk's peak > rate_stop_at test
+            # must keep its plain-iteration semantics, so a near-critical
+            # convergent sample is never falsely flagged by an AA overshoot.
             ok = ((s.it > 0)
                   & (jnp.abs(gamma[..., 0]) < 2.0)
                   & (denom[..., 0] > 0.0)
+                  & (jnp.max(r_aa, axis=-1) <= cfg.rate_stop_at)
                   & active & ~resolved_now)
-            r_aa = jnp.clip(r_aa, 0.0, r_ceiling)
             r_next = jnp.where(ok[..., None], r_aa, r_new)
         return _State(
             r=jnp.where(active[..., None], r_next, s.r),

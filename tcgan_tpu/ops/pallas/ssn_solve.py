@@ -79,99 +79,6 @@ def _io_fns(cfg: SSNConfig):
     raise ValueError(cfg.io_type)
 
 
-def _solver_kernel_t(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
-                     check_every: int,
-                     W_ref, It_ref, dtau_ref, r_ref, conv_ref, div_ref,
-                     iters_ref):
-    """Transposed-layout kernel: tile state is rT (n_pad, C) with
-    C = block_b * s_pad columns (one column per circuit x stimulus).
-
-    MXU rationale: the Euler drive becomes u_b = W_b @ rT_b with
-    M = n_pad (= 128 for N = 51) instead of M = s_pad (= 8) in the row
-    layout — the systolic array's pipeline fill amortizes over 128 output
-    rows instead of 8 (~6% -> ~50% utilization). With block_b = 16 and
-    s_pad = 8 the lane dimension C is exactly 128, so every VPU op runs at
-    full width too.
-
-    Masks are (1, C) float32 rows; per-neuron dt/tau is an (n_pad, 1)
-    column — both natively supported broadcast layouts.
-    """
-    f = _io_fns(cfg)
-    C = block_b * s_pad
-    It = It_ref[:]  # (n_pad, C): stimulus battery transposed + tiled
-    dtau = dtau_ref[:]  # (n_pad, 1)
-
-    def drive(rT):
-        outs = [
-            jax.lax.dot_general(
-                W_ref[b], rT[:, b * s_pad:(b + 1) * s_pad],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            for b in range(block_b)
-        ]
-        return jnp.concatenate(outs, axis=1) + It
-
-    r_ceiling = jnp.float32(10.0 * cfg.rate_stop_at)  # see rows kernel
-
-    def substep(rT, active):
-        u = drive(rT)
-        delta = -rT + f(u)
-        return jnp.minimum(rT + active * (dtau * delta), r_ceiling), delta
-
-    class S(NamedTuple):
-        it: jnp.ndarray
-        rT: jnp.ndarray  # (n_pad, C)
-        conv: jnp.ndarray  # (1, C) f32 0/1
-        div: jnp.ndarray
-        iters: jnp.ndarray  # (1, C) f32
-
-    def cond(s: S):
-        n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
-        return (s.it < cfg.max_iter) & (n_resolved < C - 0.5)
-
-    def body(s: S):
-        active = 1.0 - s.conv - s.div  # (1, C)
-        rT = s.rT
-        for _ in range(check_every - 1):
-            rT, _ = substep(rT, active)
-        rT, delta = substep(rT, active)
-        err = jnp.max(jnp.abs(delta), axis=0, keepdims=True)  # (1, C)
-        peak = jnp.max(rT, axis=0, keepdims=True)
-        it_next = s.it + check_every
-        div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
-        conv_hit = jnp.where(err < cfg.atol, 1.0, 0.0)
-        newly_div = active * div_hit
-        newly_conv = active * (1.0 - div_hit) * conv_hit
-        resolved = newly_div + newly_conv
-        return S(
-            it=it_next,
-            rT=rT,
-            conv=s.conv + newly_conv,
-            div=s.div + newly_div,
-            iters=s.iters + resolved * (
-                it_next.astype(jnp.float32) - s.iters),
-        )
-
-    init = S(
-        it=jnp.zeros((), jnp.int32),
-        # same init options as the rows kernel / XLA path (cfg.init)
-        rT=(f(It) if cfg.init == "feedforward"
-            else jnp.zeros((n_pad, C), jnp.float32)),
-        conv=jnp.zeros((1, C), jnp.float32),
-        div=jnp.zeros((1, C), jnp.float32),
-        iters=jnp.full((1, C), float(cfg.max_iter), jnp.float32),
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    r_ref[:] = out.rT  # (n_pad, C); un-transposed by the caller
-    # flag blocks must be >= 8 sublanes: write the (1, C) rows broadcast to
-    # 8 rows; the caller reads row 0 of each tile's block
-    conv_ref[:] = jnp.broadcast_to(out.conv.astype(jnp.int32), (8, C))
-    div_ref[:] = jnp.broadcast_to(out.div.astype(jnp.int32), (8, C))
-    iters_ref[:] = jnp.broadcast_to(out.iters.astype(jnp.int32), (8, C))
-
-
 def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                    check_every: int, two_phase: bool, refine: bool,
                    accel: bool,
@@ -278,9 +185,15 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         gamma = row_sum(f_cur * dF) / (denom + 1e-30)
         h_prev = s.r_in_prev + s.f_prev
         r_aa = jnp.clip(r_new - gamma * (r_new - h_prev), 0.0, r_ceiling)
+        # As in the XLA path: skip extrapolations that overshoot past the
+        # divergence ceiling so the next chunk's peak test keeps its
+        # plain-iteration semantics (no false divergence flags near
+        # criticality).
+        peak_aa = jnp.max(r_aa, axis=-1, keepdims=True)
         ok = (jnp.where(s.nhist > 0.5, 1.0, 0.0)
               * jnp.where(jnp.abs(gamma) < 2.0, 1.0, 0.0)
               * jnp.where(denom > 0.0, 1.0, 0.0)
+              * jnp.where(peak_aa <= cfg.rate_stop_at, 1.0, 0.0)
               * active * (1.0 - resolved))
         return r_new + ok * (r_aa - r_new), s.r, f_cur
 
@@ -425,7 +338,7 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block_b", "check_every", "interpret", "layout",
+    static_argnames=("cfg", "block_b", "check_every", "interpret",
                      "two_phase", "refine", "accel"),
 )
 def solve_fixed_point_pallas(
@@ -435,7 +348,6 @@ def solve_fixed_point_pallas(
     block_b: int = 16,
     check_every: int = 4,
     interpret: bool = False,
-    layout: str = "rows",
     two_phase: bool = True,
     refine: bool = True,
     accel: bool = False,
@@ -446,10 +358,13 @@ def solve_fixed_point_pallas(
     (single leading batch dim, shared stimulus battery). Forward-only (wrap
     with ops.ift for gradients).
 
-    layout: "rows" (default; measured fastest on v5e — lane-dim slicing
-    makes the "t" transposed variant ~3x slower despite better nominal MXU
-    shapes) or "t". two_phase: fast-pass first loop + HIGHEST-precision
-    tail (rows layout only).
+    State layout is circuit-stim rows x neuron lanes ("rows"). A transposed
+    variant with nominally better MXU shapes (M = n_pad instead of s_pad)
+    was built and measured ~3x SLOWER on v5e — lane-dimension slicing
+    forces Mosaic relayouts — and was removed in round 3 (it also never
+    supported the two_phase/refine/accel precision strategy; a
+    half-supported variant is a benchmarking foot-gun). two_phase:
+    fast-pass first loop + HIGHEST-precision tail.
     """
     B, n2 = W.shape[0], W.shape[-1]
     S = I_ext.shape[0]
@@ -476,98 +391,42 @@ def solve_fixed_point_pallas(
     )
 
     grid = (n_tiles,)
-    if layout == "t":
-        if two_phase or refine or accel:
-            import warnings
-
-            warnings.warn(
-                "pallas layout 't' implements the single-phase HIGHEST "
-                "loop only; two_phase/refine/accel are ignored for this "
-                "layout",
-                stacklevel=2,
-            )
-        C = block_b * s_pad
-        It = jnp.tile(Ip.T, (1, block_b))  # (n_pad, C)
-        kernel = functools.partial(
-            _solver_kernel_t, cfg, block_b, s_pad, n_pad, check_every
-        )
-        rT, conv, div, iters = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, C), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((n_pad, C), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, C), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, C), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, C), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_tiles * n_pad, C), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles * 8, C), jnp.int32),
-            ],
-            interpret=interpret,
-        )(Wp, It, dt_tau[:, None])
-        # (T*n_pad, C) -> (T, n_pad, block_b, s_pad) -> (b_pad, s_pad, n_pad)
-        r = rT.reshape(n_tiles, n_pad, block_b, s_pad)
-        r = jnp.transpose(r, (0, 2, 3, 1)).reshape(b_pad, s_pad, n_pad)
-
-        def unflat(a):  # (T*8, C) -> row 0 per tile -> (b_pad, s_pad)
-            return a.reshape(n_tiles, 8, block_b, s_pad)[:, 0].reshape(
-                b_pad, s_pad)
-
-        conv, div, iters = unflat(conv), unflat(div), unflat(iters)
-    elif layout == "rows":
-        kernel = functools.partial(
-            _solver_kernel, cfg, block_b, s_pad, n_pad, check_every,
-            two_phase, refine, accel,
-        )
-        r, conv, div, iters = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((s_pad, n_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((block_b, s_pad, n_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b_pad, s_pad, n_pad), jnp.float32),
-                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
-                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
-                jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
-            ],
-            interpret=interpret,
-        )(Wp, Ip, dt_tau[None, :])
-        conv = conv.reshape(b_pad, s_pad)
-        div = div.reshape(b_pad, s_pad)
-        iters = iters.reshape(b_pad, s_pad)
-    else:
-        raise ValueError(f"unknown layout {layout!r}")
+    kernel = functools.partial(
+        _solver_kernel, cfg, block_b, s_pad, n_pad, check_every,
+        two_phase, refine, accel,
+    )
+    r, conv, div, iters = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, n_pad, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, s_pad, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b * s_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, s_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad * s_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(Wp, Ip, dt_tau[None, :])
+    conv = conv.reshape(b_pad, s_pad)
+    div = div.reshape(b_pad, s_pad)
+    iters = iters.reshape(b_pad, s_pad)
 
     # Padded stimulus rows converge instantly (I = 0, r = 0); padded batch
     # rows are dropped here.

@@ -73,11 +73,8 @@ class SSNConfig:
     # (TPU only; falls back to xla for layouts the kernel doesn't cover).
     backend: str = "xla"
     pallas_block_b: int = 8  # circuits per kernel tile
-    # Kernel layout: "rows" (state = circuit-stim rows x neuron lanes) or
-    # "t" (transposed; neurons as rows). See ops/pallas/ssn_solve.py.
-    pallas_layout: str = "rows"
     # Two-phase precision: fast-pass matmul loop to a coarse residual, then
-    # a Precision.HIGHEST tail to the real atol (rows layout only).
+    # a Precision.HIGHEST tail to the real atol.
     pallas_two_phase: bool = True
     # Iterative-refinement tail: phase 2 iterates on the correction
     # e = r - r_ref with single-pass DEFAULT matmuls around a HIGHEST

@@ -72,8 +72,6 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    help="convergence-check stride (Euler steps)")
     g.add_argument("--pallas-block-b", type=int, default=8,
                    help="circuits per Pallas kernel tile")
-    g.add_argument("--pallas-layout", choices=("rows", "t"), default="rows",
-                   help="Pallas kernel layout (rows measured fastest on v5e)")
     g.add_argument("--pallas-two-phase", choices=("on", "off"), default="on",
                    help="fast-pass first loop + HIGHEST-precision tail")
     g.add_argument("--pallas-refine", choices=("on", "off"), default="on",
@@ -127,6 +125,24 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--rate-cost", type=float, default=0.01)
     g.add_argument("--normalize-input", action="store_true",
                    help="scale critic inputs by 1/mean dataset tuning curve")
+    g.add_argument("--normalize-per-condition", nargs="?", const="mean",
+                   choices=("mean", "std"), default=None,
+                   help="(conditional WGAN) per-(condition, probe) critic "
+                        "input scale from the dataset: 'mean' = 1/|mean TC| "
+                        "per condition, 'std' = 1/std per condition "
+                        "(equalizes heavy-tailed near-critical conditions); "
+                        "also normalizes the (bandwidth, contrast) tag "
+                        "features to O(1). Implies --normalize-input "
+                        "semantics at per-condition granularity.")
+    g.add_argument("--contrast-weights", type=float, nargs="+", default=None,
+                   help="(conditional WGAN) per-contrast loss weights in "
+                        "--contrasts order, expanded across bandwidths and "
+                        "normalized to mean 1; upweights informative "
+                        "(near-critical) contrasts in the critic and "
+                        "generator objectives")
+    g.add_argument("--critic-lr-decay-steps", type=int, default=-1,
+                   help="critic-side lr decay horizon: -1 = follow "
+                        "--lr-decay-steps, 0 = constant critic lr")
     g.add_argument("--reject-unconverged", action="store_true",
                    help="drop non-converged fake samples from the critic "
                         "objective (matches the fake-truth dataset's "
@@ -138,6 +154,16 @@ def add_gan_flags(p: argparse.ArgumentParser):
                    help="exponential lr decay horizon in steps (0 = off)")
     g.add_argument("--lr-decay-rate", type=float, default=0.5,
                    help="decay factor applied every --lr-decay-steps")
+    g.add_argument("--adaptive-max-iter", choices=("on", "off"),
+                   default="on",
+                   help="adaptive train-time solver budget: cap max_iter "
+                        "at ~4x the healthy-step mean iteration count "
+                        "(power-of-2 buckets), so hostile parameter "
+                        "regions can't inflate step time ~6x while the "
+                        "solver carries diverging samples to the full "
+                        "max_iter; 'off' restores the fixed budget")
+    g.add_argument("--adaptive-margin", type=float, default=4.0,
+                   help="safety margin for --adaptive-max-iter")
     g.add_argument("--gen-ema", type=float, default=0.0,
                    help="EMA decay for generator params (e.g. 0.999; 0 = "
                         "off); the EMA estimate is exported to "
@@ -188,6 +214,71 @@ def add_data_flags(p: argparse.ArgumentParser):
                         "batteries; see BASELINE.md battery design)")
 
 
+def explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
+    """Dests of options explicitly present on the command line (vs taking
+    their parser default). Used by eval-style tools that default-load the
+    training run's recorded config and let explicit flags override it."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    seen = set()
+    for a in parser._actions:
+        for opt in a.option_strings:
+            if any(tok == opt or tok.startswith(opt + "=") for tok in argv):
+                seen.add(a.dest)
+    return seen
+
+
+def run_config_dests() -> set:
+    """Arg dests that belong to the run's scientific configuration (SSN
+    circuit, stimulus battery/readout, data/truth) — the fields an eval
+    must reproduce from the training run's ``info.json`` to avoid silently
+    wrong W1/recovery numbers."""
+    p = argparse.ArgumentParser(add_help=False)
+    add_ssn_flags(p)
+    add_stimulus_flags(p)
+    add_data_flags(p)
+    return {a.dest for a in p._actions if a.dest != "help"}
+
+
+def apply_run_config(args, parser: argparse.ArgumentParser, argv,
+                     run_dir) -> list:
+    """Overlay the training run's recorded config (``info.json`` in
+    ``run_dir``) onto ``args`` for every scientific-config dest the user
+    did not explicitly set. Explicit flags win, but a mismatch against the
+    recorded value is reported loudly (returned + printed to stderr).
+
+    Returns the list of human-readable override notices (empty when the
+    CLI agrees with the run's config or no info.json exists)."""
+    import json as _json
+    import pathlib
+    import sys as _sys
+
+    info_path = pathlib.Path(run_dir) / "info.json"
+    if not info_path.exists():
+        print(f"eval: no info.json under {run_dir} — relying on CLI flags "
+              "for the run configuration", file=_sys.stderr)
+        return []
+    run_cfg = _json.loads(info_path.read_text()).get("config", {})
+    explicit = explicit_dests(parser, argv)
+    notices = []
+    for dest in sorted(run_config_dests()):
+        if dest not in run_cfg:
+            continue
+        run_val = run_cfg[dest]
+        if dest in explicit:
+            cur = getattr(args, dest, None)
+            if cur != run_val:
+                msg = (f"eval: --{dest.replace('_', '-')} overrides the "
+                       f"run's recorded config (run: {run_val!r}, "
+                       f"cli: {cur!r})")
+                notices.append(msg)
+                print(msg, file=_sys.stderr)
+        else:
+            setattr(args, dest, run_val)
+    return notices
+
+
 def ssn_config_from_args(args) -> SSNConfig:
     return SSNConfig(
         N=args.N, k=args.k, n=args.n, tau_E=args.tau_E, tau_I=args.tau_I,
@@ -198,7 +289,6 @@ def ssn_config_from_args(args) -> SSNConfig:
         rate_stop_at=args.rate_stop_at, seqlen=args.seqlen,
         backend=args.solver_backend, check_every=args.check_every,
         pallas_block_b=args.pallas_block_b,
-        pallas_layout=args.pallas_layout,
         pallas_two_phase=(args.pallas_two_phase == "on"),
         pallas_refine=(args.pallas_refine == "on"),
         stepper=args.stepper,

@@ -34,6 +34,21 @@ def make_parser():
     g.add_argument("--conditional", action="store_true",
                    help="conditional WGAN members (cwgan semantics: "
                         "condition-tagged samples, within-condition GP)")
+    g.add_argument("--estimator", choices=("wgan", "cwgan", "mm"),
+                   default=None,
+                   help="member estimator: wgan (default), cwgan (same as "
+                        "--conditional), or mm — multi-start MOMENT "
+                        "MATCHING (vmapped MMState incl. moment-EMA "
+                        "buffers; the estimator that recovered the "
+                        "near-critical battery, BASELINE.md mm13fix)")
+    g.add_argument("--mm-lr", type=float, default=1e-3,
+                   help="(mm) member Adam learn rate")
+    g.add_argument("--moment-ema", type=float, default=0.0,
+                   help="(mm) EMA decay for generated moments per member")
+    g.add_argument("--fixed-z", action="store_true",
+                   help="(mm) common-random-numbers quenched noise")
+    g.add_argument("--mean-weight", type=float, default=1.0)
+    g.add_argument("--cov-weight", type=float, default=1.0)
     return p
 
 
@@ -51,6 +66,11 @@ def main(argv=None) -> int:
     from tcgan_tpu.models import wgan as wgan_lib
 
     gen_cfg = common.generator_config_from_args(args, solver="ift")
+    estimator = args.estimator or ("cwgan" if args.conditional else "wgan")
+    if estimator == "cwgan":
+        args.conditional = True
+    if estimator == "mm":
+        return _run_mm(args, gen_cfg)
     model = cwgan_lib if args.conditional else wgan_lib
 
     step_fn = jax.jit(
@@ -75,6 +95,144 @@ def main(argv=None) -> int:
 
     with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
         return _run(args, gen_cfg, step_fn, model)
+
+
+def _run_mm(args, gen_cfg) -> int:
+    """Multi-start moment-matching ensemble: K vmapped MM fits (incl.
+    moment-EMA buffers) in one jitted program, sharing one dataset's
+    moments. Artifacts match the WGAN ensemble (ensemble.csv /
+    ensemble_params.npz / ensemble_summary.json) so ``analysis.ensemble_view
+    --jacobian`` runs unchanged."""
+    import numpy as np
+
+    import jax
+
+    from tcgan_tpu.models import ensemble as ens_lib
+    from tcgan_tpu.models import generator as gen_lib
+    from tcgan_tpu.models import moments as mm_lib
+    from tcgan_tpu.run import common
+    from tcgan_tpu.train.checkpoint import CheckpointManager
+    from tcgan_tpu.train.datastore import (DataStore,
+                                           PervasiveDivergenceError)
+    from tcgan_tpu.train.recorders import CSVRecorder
+    from tcgan_tpu.utils.stopwatch import StopWatch
+
+    cfg = mm_lib.MomentMatchingConfig(
+        gen=gen_cfg,
+        batch_size=args.batch_size,
+        lr=args.mm_lr,
+        beta1=args.adam_beta1,
+        beta2=args.adam_beta2,
+        mean_weight=args.mean_weight,
+        cov_weight=args.cov_weight,
+        rate_cost=args.rate_cost,
+        clip_grad=args.clip_grad,
+        seed=args.seed,
+        fixed_z=args.fixed_z,
+        moment_ema=args.moment_ema,
+    )
+    dataset = common.load_or_generate_dataset(args, gen_cfg)
+    data_mean, data_second = dataset.moments()
+    K = args.ensemble
+
+    store = DataStore(args.datastore)
+    store.write_info({"entry": "ensemble_mm", "n_members": K, **vars(args)})
+    gen_init = gen_lib.init_params(
+        cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S))
+    states = ens_lib.init_mm_ensemble(
+        cfg, K, jax.random.PRNGKey(cfg.seed), gen_init=gen_init,
+        start_jitter=args.start_jitter)
+    step_fn = jax.jit(ens_lib.make_mm_ensemble_step_impl(),
+                      static_argnames=("cfg",))
+
+    ckpt = CheckpointManager(store.subdir("ckpt"))
+    if args.resume and ckpt.latest_step() is not None:
+        states = ckpt.restore(states)
+
+    pops = ("E", "I")
+    cols = (["step", "member", "loss", "mean_err", "cov_err",
+             "rate_penalty", "frac_converged", "frac_diverged",
+             "train_time"]
+            + [f"{blk}_{a}{b}" for blk in ("J", "D", "S")
+               for a in pops for b in pops])
+    rec = CSVRecorder(store.file("ensemble.csv"), cols)
+    watch = StopWatch()
+
+    start = int(np.asarray(states.step)[0])
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7919), start)
+    true_params = None
+    if not args.dataset:
+        tj, td, ts = common.resolve_true_params(args)
+        true_params = {"J": np.asarray(tj), "D": np.asarray(td),
+                       "S": np.asarray(ts)}
+
+    divergence_strikes = 0
+    status = "finished"
+    try:
+        for step in range(start, start + args.n_steps):
+            key, k_step = jax.random.split(key)
+            member_keys = jax.random.split(k_step, K)
+            with watch.time("train"):
+                states, metrics = step_fn(cfg, states, data_mean,
+                                          data_second, member_keys)
+                jax.block_until_ready(metrics.loss)
+
+            if (step % args.record_every == 0
+                    or step == start + args.n_steps - 1):
+                host = {f: np.asarray(getattr(metrics, f)) for f in
+                        ("loss", "mean_err", "cov_err", "rate_penalty",
+                         "frac_converged", "frac_diverged")}
+                gp_host = jax.tree.map(np.asarray, states.gen_params)
+                for m in range(K):
+                    J, D, S = gen_lib.param_values_np(
+                        cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
+                    row = {"step": step, "member": m,
+                           "train_time": watch.last("train"),
+                           **{f: float(v[m]) for f, v in host.items()}}
+                    for blk, val in (("J", J), ("D", D), ("S", S)):
+                        for i, a in enumerate(pops):
+                            for j, b in enumerate(pops):
+                                row[f"{blk}_{a}{b}"] = float(val[i][j])
+                    rec.record(row)
+                fdiv = float(host["frac_diverged"].mean())
+                if fdiv > args.divergence_abort:
+                    divergence_strikes += 1
+                    if divergence_strikes >= args.divergence_patience:
+                        raise PervasiveDivergenceError(
+                            f"ensemble mean frac_diverged={fdiv:.2f} for "
+                            f"{divergence_strikes} recorded steps")
+                else:
+                    divergence_strikes = 0
+
+            if (args.checkpoint_every
+                    and (step + 1) % args.checkpoint_every == 0):
+                ckpt.save(step + 1, states)
+    except PervasiveDivergenceError as e:
+        status = f"aborted: {e}"
+    finally:
+        rec.close()
+
+    ckpt.save(int(np.asarray(states.step)[0]), states)
+    ckpt.close()
+
+    gp_host = jax.tree.map(np.asarray, states.gen_params)
+    stacked = {}
+    for m in range(K):
+        J, D, S = gen_lib.param_values_np(
+            cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
+        for blk, val in (("J", J), ("D", D), ("S", S)):
+            stacked.setdefault(blk, []).append(np.asarray(val))
+    np.savez(store.file("ensemble_params.npz"),
+             **{k: np.stack(v) for k, v in stacked.items()})
+
+    summary = ens_lib.ensemble_summary(cfg, states, true_params)
+    with open(store.file("ensemble_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"status": status, "n_members": K,
+                      "estimator": "mm",
+                      "mean": summary["mean"], "std": summary["std"]}))
+    store.finalize(status)
+    return 0
 
 
 def _run(args, gen_cfg, step_fn, model) -> int:
@@ -220,7 +378,8 @@ def _run(args, gen_cfg, step_fn, model) -> int:
                 else:
                     divergence_strikes = 0
 
-            if (step + 1) % args.checkpoint_every == 0:
+            if (args.checkpoint_every
+                    and (step + 1) % args.checkpoint_every == 0):
                 ckpt.save(step + 1, states)
     except PervasiveDivergenceError as e:
         status = f"aborted: {e}"

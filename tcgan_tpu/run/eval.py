@@ -78,11 +78,24 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", choices=("float32", "bfloat16", "float64"),
                    default="float32")
+    p.add_argument("--no-run-config", action="store_true",
+                   help="do NOT default-load the SSN/stimulus/data config "
+                        "from the run's info.json (then every scientific "
+                        "flag must be retyped to match the training run)")
     return p
 
 
 def main(argv=None):
-    args = make_parser().parse_args(argv)
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    # Default-load the training run's recorded scientific config so a bare
+    # `eval --run <dir>` reproduces the training battery/readout/SSN setup
+    # exactly; explicit CLI flags override (loudly — evaluating with
+    # mismatched bandwidths/contrasts/probes silently corrupts W1 and
+    # recovery numbers otherwise).
+    overrides = []
+    if not args.no_run_config:
+        overrides = common.apply_run_config(args, parser, argv, args.run)
     import jax
     import jax.numpy as jnp
 
@@ -131,8 +144,10 @@ def main(argv=None):
         "tc_w1": tc_w1(gen_tc, data_tc),
         "sliced_w1": sliced_w1(gen_tc, data_tc),
         "frac_converged": float(np.asarray(out.converged).mean()),
-        "fitted_params": {k: v.tolist() for k, v in fitted.items()},
+        "fitted_params": {k: np.asarray(v).tolist() for k, v in fitted.items()},
     }
+    if overrides:
+        result["config_overrides"] = overrides
     if args.true_J or args.true_D or args.true_S:
         # Same fallback chain as fake-truth dataset generation
         # (resolve_true_params -> DEFAULT_J/D/S), so recovery errors are

@@ -53,10 +53,28 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         data_gen_cfg = dataclasses.replace(gen_cfg, track_offset_identity=True)
     dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
-    input_scale = None
-    if getattr(args, "normalize_input", False):
-        import numpy as np
+    import numpy as np
 
+    input_scale = None
+    cond_input_scale = None
+    norm_mode = getattr(args, "normalize_per_condition", None)
+    if conditional and norm_mode is not None:
+        # Per-(condition, probe) scale: keeps the heavy-tailed near-critical
+        # conditions from swamping the critic's per-batch signal
+        # (BASELINE.md rec13 stall diagnosis). Tag features normalized to
+        # O(1) so contrast ~13 doesn't dominate the He-init first layer.
+        tc = np.asarray(dataset.tc).reshape(
+            dataset.num_samples, gen_cfg.n_stim, gen_cfg.n_probe)
+        if norm_mode == "std":
+            denom = tc.std(axis=0)
+        else:
+            denom = np.abs(tc.mean(axis=0))
+        sp_scale = 1.0 / np.maximum(denom, 1e-6)  # (S, P)
+        feats = np.asarray(gen_cfg.condition_features())  # (S, 2)
+        tag_scale = 1.0 / np.maximum(np.abs(feats).max(axis=0), 1e-6)
+        cond_input_scale = tuple(
+            float(s) for s in np.concatenate([sp_scale.ravel(), tag_scale]))
+    elif getattr(args, "normalize_input", False):
         mean_tc = np.asarray(dataset.tc).mean(axis=0)
         scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
         if conditional:
@@ -66,9 +84,28 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
             scale = np.concatenate([probe_scale, np.ones(2)])
         input_scale = tuple(float(s) for s in scale)
 
+    cond_weight = None
+    if conditional and getattr(args, "contrast_weights", None):
+        cw = np.asarray(args.contrast_weights, dtype=np.float64)
+        if cw.shape[0] != len(args.contrasts):
+            raise SystemExit(
+                f"--contrast-weights needs {len(args.contrasts)} values "
+                f"(one per --contrasts entry), got {cw.shape[0]}")
+        # battery order is contrast-major (ops/stimulus.py
+        # condition_features): expand each contrast weight across bandwidths
+        per_stim = np.repeat(cw, len(args.bandwidths))
+        per_stim = per_stim / per_stim.mean()
+        cond_weight = tuple(float(w) for w in per_stim)
+
+    extra_cfg = {}
+    if conditional:
+        extra_cfg = dict(cond_input_scale=cond_input_scale,
+                         cond_weight=cond_weight)
     cfg = mk_cfg(
         gen=gen_cfg,
         input_scale=input_scale,
+        critic_lr_decay_steps=getattr(args, "critic_lr_decay_steps", -1),
+        **extra_cfg,
         critic_layers=tuple(args.disc_layers),
         batch_size=args.batch_size,
         gp_lambda=args.gp_lambda,
@@ -118,6 +155,8 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         divergence_abort=args.divergence_abort,
         divergence_patience=args.divergence_patience,
         seed=args.seed,
+        adaptive_max_iter=(getattr(args, "adaptive_max_iter", "off") == "on"),
+        adaptive_margin=getattr(args, "adaptive_margin", 4.0),
     )
     from tcgan_tpu.models import generator as gen_lib
     from tcgan_tpu.train.checkpoint import CheckpointManager

@@ -42,6 +42,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="common random numbers: one fixed quenched-noise "
                         "set every step (deterministic objective; escapes "
                         "the minibatch-noise floor — see BASELINE.md)")
+    g.add_argument("--no-survivor-mask", action="store_true",
+                   help="disable the survivor-selection mask on generated "
+                        "moments (matches pre-round-2b unmasked baselines; "
+                        "the masked objective is the default because the "
+                        "unmasked one repels the truth on fragile "
+                        "batteries — BASELINE.md round-2b)")
     return p
 
 
@@ -74,6 +80,7 @@ def main(argv=None):
         seed=args.seed,
         fixed_z=args.fixed_z,
         moment_ema=args.moment_ema,
+        survivor_mask=not args.no_survivor_mask,
     )
     dataset = common.load_or_generate_dataset(args, gen_cfg)
     store = DataStore(args.datastore)

@@ -42,6 +42,17 @@ class DriverConfig:
     divergence_patience: int = 20  # ... for this many consecutive steps
     log_every: int = 10
     seed: int = 0
+    # Adaptive train-time solver budget (SURVEY.md §5.3 failure semantics):
+    # cap the solver's max_iter at ``adaptive_margin`` x the EMA of healthy
+    # steps' mean iteration count, so a drift into a hostile parameter
+    # region cannot silently inflate step time ~6x while the kernel carries
+    # diverging samples to the full max_iter (measured: mean iters 2931 vs
+    # 485 on a 34%-divergent batch, BASELINE.md round 2). The cap moves in
+    # power-of-2 buckets, so jit re-specializes at most a handful of times
+    # per run; samples the cap cuts off are simply unconverged — the same
+    # reject/penalize path as any other unresolved sample.
+    adaptive_max_iter: bool = False
+    adaptive_margin: float = 4.0
 
 
 class GANDriver:
@@ -76,6 +87,8 @@ class GANDriver:
         self.watch = StopWatch()
         self._div_streak = 0
         self._tc_mean_fn = None
+        self._iter_ema = None  # EMA of healthy-step mean iters (see _adapt)
+        self._orig_max_iter = int(model_cfg.gen.ssn.max_iter)
 
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
@@ -104,9 +117,12 @@ class GANDriver:
                     jax.block_until_ready(metrics)
                 metrics = self._record(step, metrics)  # host copy back
                 self._check_divergence(step, metrics)
+                if self.cfg.adaptive_max_iter:
+                    self._adapt_solver_budget(step, metrics)
                 if on_step is not None:
                     on_step(step, self.state, metrics)
-                if (step + 1) % self.cfg.checkpoint_every == 0:
+                if (self.cfg.checkpoint_every
+                        and (step + 1) % self.cfg.checkpoint_every == 0):
                     self.checkpoints.save(step + 1, self.state)
                     self._export_params(step + 1)
             self.checkpoints.save(start + n_steps, self.state)
@@ -219,6 +235,37 @@ class GANDriver:
             jax.block_until_ready(self._grad_fn(
                 self.state.gen_params, self.state.critic_params, key))
 
+    def _adapt_solver_budget(self, step: int, metrics):
+        """Adaptive train-time max_iter (see DriverConfig.adaptive_max_iter).
+
+        Healthy steps (>=90% converged) update an EMA of the batch's mean
+        iteration count; the solver budget is then clamped to
+        ``adaptive_margin x EMA`` rounded up to a power of two (floor 1024,
+        ceiling the configured max_iter). Unhealthy steps do NOT update the
+        EMA, so a divergence outbreak keeps the healthy-era cap and cannot
+        inflate its own budget."""
+        import math
+
+        fconv = float(metrics.frac_converged)
+        miters = float(metrics.mean_iters)
+        if fconv >= 0.9 and math.isfinite(miters) and miters > 0:
+            self._iter_ema = (miters if self._iter_ema is None
+                              else 0.95 * self._iter_ema + 0.05 * miters)
+        if self._iter_ema is None:
+            return
+        target = self.cfg.adaptive_margin * self._iter_ema
+        bucket = 1 << max(10, math.ceil(math.log2(max(target, 1.0))))
+        bucket = min(bucket, self._orig_max_iter)
+        ssn = self.model_cfg.gen.ssn
+        if bucket != ssn.max_iter:
+            print(f"[driver] step {step}: adaptive solver budget "
+                  f"max_iter {ssn.max_iter} -> {bucket} "
+                  f"(healthy mean iters EMA {self._iter_ema:.0f})")
+            gen = dataclasses.replace(
+                self.model_cfg.gen,
+                ssn=dataclasses.replace(ssn, max_iter=bucket))
+            self.model_cfg = dataclasses.replace(self.model_cfg, gen=gen)
+
     def _check_divergence(self, step: int, metrics):
         frac = float(metrics.frac_diverged)
         if frac > self.cfg.divergence_abort:
@@ -294,7 +341,8 @@ class MomentMatchingDriver:
                         f"step {step}: pervasive divergence")
                 if on_step is not None:
                     on_step(step, self.state, m)
-                if (step + 1) % self.cfg.checkpoint_every == 0:
+                if (self.cfg.checkpoint_every
+                        and (step + 1) % self.cfg.checkpoint_every == 0):
                     self.checkpoints.save(step + 1, self.state)
             self.checkpoints.save(start + n_steps, self.state)
             self.store.finalize("finished")

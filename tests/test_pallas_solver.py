@@ -23,13 +23,12 @@ def _problem(B=5):
     return cfg, W.astype(jnp.float32), I.astype(jnp.float32)
 
 
-@pytest.mark.parametrize("layout,refine", [("rows", True), ("rows", False),
-                                           ("t", False)])
-def test_pallas_matches_xla_solver(layout, refine):
+@pytest.mark.parametrize("refine", [True, False])
+def test_pallas_matches_xla_solver(refine):
     cfg, W, I = _problem()
     ref = fixed_point.solve_fixed_point(cfg, W, I)
     out = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=1,
-                                   interpret=True, layout=layout,
+                                   interpret=True,
                                    refine=refine)
     assert out.r.shape == ref.r.shape
     assert bool(ref.converged.all())
@@ -125,28 +124,26 @@ def test_reference_parity_aliases():
     assert callable(ops.solve_dynamics)
 
 
-@pytest.mark.parametrize("layout", ["rows", "t"])
-def test_pallas_feedforward_init_matches(layout):
+def test_pallas_feedforward_init_matches():
     import dataclasses
 
     cfg, W, I = _problem(B=4)
     cfg_ff = dataclasses.replace(cfg, init="feedforward")
     ref = fixed_point.solve_fixed_point(cfg_ff, W, I)
     out = solve_fixed_point_pallas(cfg_ff, W, I, block_b=4, check_every=1,
-                                   interpret=True, two_phase=False,
-                                   layout=layout)
+                                   interpret=True, two_phase=False)
     np.testing.assert_allclose(np.asarray(out.r), np.asarray(ref.r),
                                rtol=1e-4, atol=1e-5)
     assert bool(out.converged.all())
     # feedforward warm start must agree on iteration counts with the XLA
-    # path (the whole point of honoring cfg.init per layout) up to a few
+    # path (the whole point of honoring cfg.init) up to a few
     # steps of float-associativity jitter at the atol crossing
     assert np.max(np.abs(np.asarray(out.iters, np.int64)
                          - np.asarray(ref.iters, np.int64))) <= 4
 
 
 def test_solve_any_honors_pallas_knobs(monkeypatch):
-    """SSNConfig.pallas_layout / pallas_two_phase must reach the kernel."""
+    """SSNConfig.pallas_two_phase / pallas_block_b must reach the kernel."""
     import dataclasses
 
     from tcgan_tpu.ops import fixed_point as fp
@@ -161,10 +158,9 @@ def test_solve_any_honors_pallas_knobs(monkeypatch):
     import tcgan_tpu.ops.pallas as pallas_pkg
     monkeypatch.setattr(pallas_pkg, "solve_fixed_point_pallas", spy)
     cfg, W, I = _problem(B=2)
-    cfg = dataclasses.replace(cfg, backend="pallas", pallas_layout="t",
+    cfg = dataclasses.replace(cfg, backend="pallas",
                               pallas_two_phase=False, pallas_block_b=2)
     fp.solve_any(cfg, W, I)
-    assert seen["layout"] == "t"
     assert seen["two_phase"] is False
     assert seen["block_b"] == 2
 

@@ -1,0 +1,214 @@
+"""Round-3 feature tests: per-condition critic normalization, condition
+weights, split critic lr schedule, per-circuit survivor mask (cwgan),
+adaptive solver budget, and eval-reads-run-config helpers."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcgan_tpu.models import cwgan as cwgan_lib
+from tcgan_tpu.models import wgan as wgan_lib
+from tcgan_tpu.models.cwgan import CWGANConfig
+from tcgan_tpu.models.generator import GeneratorConfig
+from tcgan_tpu.ops.ssn import SSNConfig
+
+
+def _gen_cfg(**kw):
+    base = dict(
+        ssn=SSNConfig(N=6, seqlen=100, max_iter=200, atol=1e-4),
+        bandwidths=(0.0, 1.0), contrasts=(5.0, 10.0),
+        sample_sites=2, track_offset_identity=True,
+        include_inhibitory_neurons=False, solver="ift",
+    )
+    base.update(kw)
+    return GeneratorConfig(**base)
+
+
+def test_cond_input_scale_applied_at_tagging():
+    gen = _gen_cfg()
+    S, P = gen.n_stim, gen.n_probe
+    scale = np.arange(1, S * P + 3, dtype=np.float32)  # S*P + 2 tag scales
+    cfg = CWGANConfig(gen=gen, cond_input_scale=tuple(float(x) for x in scale))
+    B = 3
+    tc = jnp.ones((B, S, P), jnp.float32)
+    tagged = cwgan_lib.tag_with_conditions(cfg, tc)
+    assert tagged.shape == (B * S, P + 2)
+    # probe block of (circuit 0, condition s) must equal scale[s*P:(s+1)*P]
+    got = np.asarray(tagged)[:S, :P]
+    want = scale[: S * P].reshape(S, P)
+    np.testing.assert_allclose(got, want)
+    # tag features scaled by the trailing two entries
+    feats = np.asarray(gen.condition_features())
+    np.testing.assert_allclose(np.asarray(tagged)[:S, P:],
+                               feats * scale[S * P:], rtol=1e-6)
+    # the critic's own static input_scale must be disabled (no double scale)
+    assert cfg.critic_cfg.input_scale is None
+
+
+def test_cond_row_weights_layout():
+    gen = _gen_cfg()
+    S = gen.n_stim
+    w = tuple(float(i + 1) for i in range(S))
+    cfg = CWGANConfig(gen=gen, cond_weight=w)
+    rows = cwgan_lib.cond_row_weights(cfg, 2 * S)
+    # condition-major rows: circuit 0's S conditions then circuit 1's
+    np.testing.assert_allclose(np.asarray(rows), np.tile(w, 2))
+    assert cwgan_lib.cond_row_weights(CWGANConfig(gen=gen), 2 * S) is None
+
+
+def test_cwgan_fake_row_weights_per_circuit():
+    """Rejection must mask ALL rows of a circuit with any failed condition
+    (the dataset's survivor selection), not just the failed solve's row."""
+    gen = _gen_cfg()
+    S = gen.n_stim
+    cfg = CWGANConfig(gen=gen, reject_unconverged=True)
+
+    class Out:
+        converged = jnp.array([[True] * S, [True] + [False] * (S - 1)])
+
+    w = np.asarray(cwgan_lib.fake_row_weights(cfg, Out()))
+    assert w.shape == (2 * S,)
+    np.testing.assert_allclose(w[:S], 1.0)  # fully-converged circuit kept
+    np.testing.assert_allclose(w[S:], 0.0)  # partially-diverged: ALL rows out
+
+
+def test_critic_lr_decay_split():
+    import optax
+
+    cfg = wgan_lib.WGANConfig(lr_gen=1e-3, lr_critic=1e-3,
+                              lr_decay_steps=10, lr_decay_rate=0.5,
+                              critic_lr_decay_steps=0)
+    gen_tx, critic_tx = wgan_lib.make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    def nth_update(tx, n):
+        st = tx.init(params)
+        for _ in range(n):
+            up, st = tx.update(grads, st, params)
+        return float(np.abs(np.asarray(up["w"])).mean())
+
+    # after 30 steps the generator lr decayed 8x; the critic lr did not —
+    # Adam normalizes magnitudes, so compare the decayed scale directly
+    g30, c30 = nth_update(gen_tx, 30), nth_update(critic_tx, 30)
+    assert c30 > 4 * g30, (g30, c30)
+    # follow-mode (-1): both decay identically
+    cfg2 = dataclasses.replace(cfg, critic_lr_decay_steps=-1)
+    _, critic_tx2 = wgan_lib.make_optimizers(cfg2)
+    c30b = nth_update(critic_tx2, 30)
+    assert abs(c30b - g30) / g30 < 1e-5
+
+
+def test_moments_survivor_mask_flag():
+    from tcgan_tpu.models import moments as mm_lib
+
+    gen = _gen_cfg()
+    cfg_on = mm_lib.MomentMatchingConfig(gen=gen, batch_size=4)
+    cfg_off = dataclasses.replace(cfg_on, survivor_mask=False)
+    assert cfg_on.survivor_mask and not cfg_off.survivor_mask
+
+    class Out:
+        converged = jnp.array([[True, True, True, True],
+                               [True, False, True, True],
+                               [True, True, True, True],
+                               [False, False, False, False]])
+
+    m = np.asarray(mm_lib.sample_mask(cfg_on, Out()))
+    np.testing.assert_allclose(m, [1.0, 0.0, 1.0, 0.0])
+
+
+def test_adaptive_solver_budget_bucketing():
+    from tcgan_tpu.train.datastore import DataStore
+    from tcgan_tpu.train.driver import DriverConfig, GANDriver
+
+    gen = _gen_cfg(ssn=SSNConfig(N=6, max_iter=8192))
+    cfg = wgan_lib.WGANConfig(gen=gen, batch_size=4)
+    state = wgan_lib.init_state(cfg)
+
+    class M:
+        def __init__(self, fconv, miters):
+            self.frac_converged = fconv
+            self.mean_iters = miters
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        store = DataStore(d)
+        drv = GANDriver(cfg, DriverConfig(adaptive_max_iter=True,
+                                          adaptive_margin=4.0),
+                        store, lambda *a: None, state,
+                        lambda *a: None)
+        # healthy steps at ~400 iters -> cap 4*400=1600 -> bucket 2048
+        for s in range(5):
+            drv._adapt_solver_budget(s, M(1.0, 400.0))
+        assert drv.model_cfg.gen.ssn.max_iter == 2048
+        # a divergence outbreak must NOT raise the budget (EMA frozen)
+        drv._adapt_solver_budget(6, M(0.3, 2048.0))
+        assert drv.model_cfg.gen.ssn.max_iter == 2048
+        # floor: very fast convergence still keeps >= 1024
+        drv2 = GANDriver(cfg, DriverConfig(adaptive_max_iter=True),
+                         store, lambda *a: None, state, lambda *a: None)
+        drv2._adapt_solver_budget(0, M(1.0, 50.0))
+        assert drv2.model_cfg.gen.ssn.max_iter == 1024
+        # ceiling: never exceeds the configured max_iter
+        drv3 = GANDriver(cfg, DriverConfig(adaptive_max_iter=True,
+                                           adaptive_margin=100.0),
+                         store, lambda *a: None, state, lambda *a: None)
+        drv3._adapt_solver_budget(0, M(1.0, 5000.0))
+        assert drv3.model_cfg.gen.ssn.max_iter == 8192
+
+
+def test_eval_reads_run_config(tmp_path):
+    """apply_run_config overlays info.json values; explicit flags win and
+    are reported as overrides."""
+    import argparse
+    import json
+
+    from tcgan_tpu.run import common
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "info.json").write_text(json.dumps({"config": {
+        "N": 17, "contrasts": [5.0, 10.0, 13.0], "sample_sites": 4,
+        "include_inhibitory_neurons": True, "true_J": [1, 2, 3, 4],
+    }}))
+    p = argparse.ArgumentParser()
+    common.add_ssn_flags(p)
+    common.add_stimulus_flags(p)
+    common.add_data_flags(p)
+    argv = ["--sample-sites", "2"]
+    args = p.parse_args(argv)
+    notices = common.apply_run_config(args, p, argv, run)
+    assert args.N == 17
+    assert args.contrasts == [5.0, 10.0, 13.0]
+    assert args.include_inhibitory_neurons is True
+    assert args.true_J == [1, 2, 3, 4]
+    assert args.sample_sites == 2  # explicit flag wins ...
+    assert len(notices) == 1 and "sample-sites" in notices[0]  # ... loudly
+
+
+def test_cwgan_critic_loss_cond_weighting():
+    """With all weight on condition 0, the critic loss must ignore other
+    conditions' scores entirely."""
+    gen = _gen_cfg()
+    S = gen.n_stim
+    w = (float(S),) + (0.0,) * (S - 1)  # mean 1, all mass on condition 0
+    cfg = CWGANConfig(gen=gen, cond_weight=w, gp_lambda=0.0,
+                      critic_layers=(8,), batch_size=2)
+    key = jax.random.PRNGKey(0)
+    params = __import__("tcgan_tpu.models.critic", fromlist=["x"]).init_params(
+        cfg.critic_cfg, key)
+    B = 2
+    real = jax.random.normal(key, (B * S, gen.n_probe + 2))
+    fake = jax.random.normal(jax.random.fold_in(key, 1), (B * S, gen.n_probe + 2))
+    loss1, _ = cwgan_lib.critic_loss_fn(cfg, params, real, fake, key)
+    # perturb a non-condition-0 row hugely: loss must not change
+    fake2 = fake.at[1].set(fake[1] + 100.0)
+    real2 = real.at[2].set(real[2] - 50.0)
+    loss2, _ = cwgan_lib.critic_loss_fn(cfg, params, real2, fake2, key)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
