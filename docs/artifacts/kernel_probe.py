@@ -12,10 +12,15 @@ Run on the real chip: python docs/artifacts/kernel_probe.py
 
 import json
 import pathlib
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Repo root on sys.path AFTER jax import: putting it on PYTHONPATH breaks
+# the axon TPU plugin's entry-point discovery in this sandbox.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 jax.config.update(
     "jax_compilation_cache_dir",
