@@ -192,7 +192,15 @@ def fake_sample_weights(cfg: WGANConfig, out) -> jnp.ndarray | None:
 def _wmean(x, w):
     if w is None:
         return jnp.mean(x)
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+    # Degeneracy guard: if EVERY row is masked out (observed when
+    # reject_unconverged meets a batch with no fully-converged circuit —
+    # rec13d blow-up), fall back to the unweighted mean. A silent zero here
+    # deletes the fake term from the critic loss, whose maximization of
+    # E[D(real)] is then unbounded (W -> 1e5, GP explosion).
+    total = jnp.sum(w)
+    return jnp.where(total > 0.0,
+                     jnp.sum(x * w) / jnp.maximum(total, 1e-12),
+                     jnp.mean(x))
 
 
 def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key,

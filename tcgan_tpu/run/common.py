@@ -147,7 +147,15 @@ def add_gan_flags(p: argparse.ArgumentParser):
                    help="drop non-converged fake samples from the critic "
                         "objective (matches the fake-truth dataset's "
                         "survivor selection; the reference fixed-point "
-                        "GAN's reject semantics)")
+                        "GAN's reject semantics). CAUTION: only for "
+                        "mostly-convergent regimes — rejection removes "
+                        "the critic's implicit penalty on clamped "
+                        "diverged fakes, so on fragile (near-critical) "
+                        "batteries the generator can drift into "
+                        "divergence unopposed (measured: rec13d, fdiv "
+                        "0.8%->8% in 500 steps, then a degenerate "
+                        "all-rejected critic). Prefer the default "
+                        "penalty semantics there.")
     g.add_argument("--clip-grad", type=float, default=0.0,
                    help="global-norm gradient clip for both nets (0 = off)")
     g.add_argument("--lr-decay-steps", type=int, default=0,

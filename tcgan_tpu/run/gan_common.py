@@ -69,7 +69,13 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
             denom = tc.std(axis=0)
         else:
             denom = np.abs(tc.mean(axis=0))
-        sp_scale = 1.0 / np.maximum(denom, 1e-6)  # (S, P)
+        # Floor at 5% of the global TC magnitude: near-silent conditions
+        # (e.g. bandwidth 0) have ~zero mean AND ~zero variance, and an
+        # eps-only floor would amplify their pure noise by ~1e6 — the
+        # critic then rides that one degenerate feature to a runaway
+        # Wasserstein (observed: rec13d blow-up, W -> 1e5 by step 2k).
+        floor = 0.05 * float(np.abs(tc).mean())
+        sp_scale = 1.0 / np.maximum(denom, max(floor, 1e-6))  # (S, P)
         feats = np.asarray(gen_cfg.condition_features())  # (S, 2)
         tag_scale = 1.0 / np.maximum(np.abs(feats).max(axis=0), 1e-6)
         cond_input_scale = tuple(

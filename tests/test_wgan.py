@@ -341,7 +341,15 @@ def test_reject_unconverged_fakes():
         pytest.skip("hostile circuit unexpectedly converged everywhere")
     lh_off, _ = wgan_lib.gen_loss_fn(cfg_off, hostile, state.critic_params, k)
     lh_on, _ = wgan_lib.gen_loss_fn(cfg_on, hostile, state.critic_params, k)
-    assert float(lh_on) != float(lh_off)
+    ok = np.asarray(out.converged).all(axis=-1)
+    if ok.any():
+        # mixed batch: masking must change the loss
+        assert float(lh_on) != float(lh_off)
+    else:
+        # ALL circuits rejected: the degeneracy guard falls back to the
+        # unweighted mean (a silent zero would delete the fake term and
+        # unbound the critic — the rec13d blow-up)
+        np.testing.assert_allclose(float(lh_on), float(lh_off), rtol=1e-12)
     assert np.isfinite(float(lh_on))
 
     # full train step runs with rejection enabled
