@@ -52,8 +52,11 @@ def main():
         bws = tuple(b + 1e-4 * i for i in range(rep) for b in base_bw)
         I_ext = stimulus.stimulus_battery(bws, (10.0,), x, cfg.smoothness)
         S_cond = I_ext.shape[0]
-        solve = jax.jit(lambda w, I=I_ext: solve_fixed_point_pallas(
-            cfg, w, I, block_b=16, check_every=32, two_phase=True,
+        # Tile VMEM footprint scales with block_b * s_pad: shrink the
+        # circuit tile as the battery grows to stay inside scoped vmem.
+        bb = 16 if S_cond <= 32 else (8 if S_cond <= 64 else 4)
+        solve = jax.jit(lambda w, I=I_ext, b=bb: solve_fixed_point_pallas(
+            cfg, w, I, block_b=b, check_every=32, two_phase=True,
             refine=True, interpret=not on_tpu))
         r = solve(W)
         jax.block_until_ready(r.r)
