@@ -125,6 +125,14 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--rate-cost", type=float, default=0.01)
     g.add_argument("--normalize-input", action="store_true",
                    help="scale critic inputs by 1/mean dataset tuning curve")
+    g.add_argument("--normalize-input-mode", choices=("mean", "std"),
+                   default="mean",
+                   help="per-feature scale for --normalize-input: 'mean' = "
+                        "1/|mean TC| (reference-style), 'std' = 1/std with "
+                        "a 5%%-of-mean-|TC| degeneracy floor (whitens the "
+                        "joint critic input; the scale the ridge-"
+                        "discrimination probes separate under, "
+                        "docs/artifacts/ridge_discrimination_scale.py)")
     g.add_argument("--normalize-per-condition", nargs="?", const="mean",
                    choices=("mean", "std"), default=None,
                    help="(conditional WGAN) per-(condition, probe) critic "

@@ -81,8 +81,18 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         cond_input_scale = tuple(
             float(s) for s in np.concatenate([sp_scale.ravel(), tag_scale]))
     elif getattr(args, "normalize_input", False):
-        mean_tc = np.asarray(dataset.tc).mean(axis=0)
-        scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
+        tc = np.asarray(dataset.tc)
+        if getattr(args, "normalize_input_mode", "mean") == "std":
+            # Per-feature std scale with the same degeneracy floor as the
+            # per-condition path: near-silent features (bandwidth-0
+            # conditions) have ~zero std, and an eps-only floor would
+            # amplify pure noise (rec13d blow-up mechanism).
+            denom = tc.std(axis=0)
+            floor = 0.05 * float(np.abs(tc).mean())
+            scale = 1.0 / np.maximum(denom, max(floor, 1e-6))
+        else:
+            mean_tc = tc.mean(axis=0)
+            scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
         if conditional:
             # conditional critic sees (per-condition probe block, cond tag)
             n_probe = gen_cfg.n_probe

@@ -82,6 +82,20 @@ def test_gan_cli_normalize_input_and_resume(tmp_path):
     assert steps == ["0", "1", "2", "3"]
 
 
+def test_gan_cli_normalize_input_std_mode(tmp_path):
+    # --normalize-input-mode std: per-feature 1/std whitening with the
+    # 5%-of-mean-|TC| degeneracy floor (the scale the ridge-discrimination
+    # probes separate under). Smoke both the plain and conditional paths.
+    rc = gan.main(TINY_GAN + [
+        "--datastore", str(tmp_path / "gs"), "--normalize-input",
+        "--normalize-input-mode", "std"])
+    assert rc == 0
+    rc = bptt_cwgan.main(TINY_GAN + [
+        "--datastore", str(tmp_path / "gsc"), "--solver", "ift",
+        "--normalize-input", "--normalize-input-mode", "std"])
+    assert rc == 0
+
+
 def test_moments_cli_end_to_end(tmp_path):
     rc = moments.main(TINY + [
         "--datastore", str(tmp_path / "m"), "--n-steps", "2",
