@@ -194,6 +194,32 @@ def main() -> int:
     except Exception:  # pragma: no cover
         rate_sustained = float("nan")
 
+    # Roofline corollary (BASELINE.md round-3 kernel probe): the M=8
+    # headline battery is weight-load bound — every Euler substep pays the
+    # 128x128 MXU weight-tile load whether 8 or 32 stim rows stream
+    # through it, capping the headline at ~6-8% MXU utilization BY SHAPE.
+    # Measure the production (5,10,13) battery (M=24 stim rows/circuit):
+    # same circuits, ~3x the stim-solves at near-constant substep cost.
+    def _battery24_rate():
+        I24 = stimulus.stimulus_battery(
+            bandwidths, (5.0, 10.0, 13.0), x, cfg.smoothness)
+        s = jax.jit(lambda W: solve_fixed_point_pallas(
+            cfg, W, I24, block_b=16, check_every=32,
+            two_phase=True, refine=True, interpret=not on_tpu))
+        r = s(W)
+        jax.block_until_ready(r.r)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            r = s(W)
+        jax.block_until_ready(r.r)
+        t = (time.perf_counter() - t0) / REPS
+        return B_TPU * I24.shape[0] / t, float(r.converged.mean())
+
+    try:
+        rate_b24, b24_conv = _battery24_rate()
+    except Exception:  # pragma: no cover
+        rate_b24 = b24_conv = float("nan")
+
     # Mesh mode: shard the solver batch over ALL available devices
     # (weak scaling: per-chip batch held at B_TPU) and report per-chip
     # rate + scaling efficiency vs the single-chip headline. On this
@@ -330,6 +356,14 @@ def main() -> int:
             "parity_checked": parity_checked,
             "tpu_rate_sustained": round(rate_sustained, 1),
             "wgan_step_ms": round(wgan_step_ms, 2),
+            "tpu_rate_battery24": round(rate_b24, 1),
+            "battery24_frac_converged": round(b24_conv, 4),
+            "battery24_note": (
+                "production (5,10,13)-contrast battery, M=24 stim rows/"
+                "circuit: the M=8 headline is weight-load bound (~6-8% MXU "
+                "by shape; BASELINE.md round-3 roofline), so utilization "
+                "scales with battery size at near-constant substep cost"
+            ),
             "tpu_rate_expo_stepper": round(rate_expo, 1),
             "expo_frac_converged": round(expo_conv, 4),
             "tpu_rate_anderson": round(rate_aa, 1),
