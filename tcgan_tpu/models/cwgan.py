@@ -168,8 +168,17 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
 
 
 def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
-    """Generator loss (same signature as wgan.gen_loss_fn): negative critic
-    score of condition-tagged samples + rate penalty."""
+    loss, stats, _ = gen_loss_parts(cfg, gen_params, critic_params, key)
+    return loss, stats
+
+
+def gen_loss_parts(cfg: CWGANConfig, gen_params, critic_params, key):
+    """Generator loss (same contract as wgan.gen_loss_parts): negative
+    critic score of condition-tagged samples + rate penalty, plus the raw
+    generator output for out-dependent extra terms (moment anchor). The
+    anchor operates on the JOINT per-circuit TC vector — exactly the
+    cross-condition structure the conditional row decomposition cannot see
+    (BASELINE.md round-3 scale probe, conclusion 2)."""
     from tcgan_tpu.models.wgan import _wmean
 
     fake, out = sample_conditional(cfg, gen_params, key, cfg.batch_size)
@@ -183,12 +192,13 @@ def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
     )
     w = _combine_w(fake_row_weights(cfg, out),
                    cond_row_weights(cfg, d_fake.shape[0], dtype=fake.dtype))
-    return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats)
+    return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats, out)
 
 
 def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
-               gen_init: Dict[str, jnp.ndarray] | None = None) -> TrainState:
-    from tcgan_tpu.models.wgan import make_optimizers
+               gen_init: Dict[str, jnp.ndarray] | None = None,
+               data_moments=None) -> TrainState:
+    from tcgan_tpu.models.wgan import anchor_buffers, make_optimizers
 
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -204,6 +214,7 @@ def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay > 0 else None),
+        **anchor_buffers(cfg, data_moments),
     )
 
 
@@ -241,9 +252,18 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
-        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
-    )(state.gen_params)
+    from tcgan_tpu.models.wgan import anchor_loss
+
+    def gen_total(gp_):
+        loss, stats, out = gen_loss_parts(cfg, gp_, critic_params, key_g)
+        if cfg.moment_anchor > 0:
+            aloss, new_em, new_es = anchor_loss(cfg, state, out)
+            loss = loss + cfg.moment_anchor * aloss
+            return loss, (stats, (new_em, new_es))
+        return loss, (stats, (None, None))
+
+    (g_loss, ((pen, fconv, fdiv, miters), mom_ema)), g_grads = \
+        jax.value_and_grad(gen_total, has_aux=True)(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
@@ -257,6 +277,11 @@ def train_step_impl(
         gen_params=gen_params, gen_opt=gen_opt,
         critic_params=critic_params, critic_opt=critic_opt,
         step=state.step + 1, ema_params=ema_params,
+        data_mean=state.data_mean, data_second=state.data_second,
+        mom_ema_mean=(jax.lax.stop_gradient(mom_ema[0])
+                      if cfg.moment_anchor > 0 else None),
+        mom_ema_second=(jax.lax.stop_gradient(mom_ema[1])
+                        if cfg.moment_anchor > 0 else None),
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1], g_loss=g_loss, wasserstein=ws[-1], gp=gps[-1],

@@ -76,6 +76,22 @@ class WGANConfig:
     # per-feature critic input scale (1/mean TC of the dataset when the
     # --normalize-input knob is on); None = raw inputs
     input_scale: Tuple[float, ...] | None = None
+    # Moment-anchor hybrid objective (--moment-anchor): add
+    # ``moment_anchor * L_moments`` to the generator loss, where
+    # L_moments is the survivor-masked, EMA-averaged moment-matching
+    # residual of models/moments.py. Rationale (BASELINE.md round-3
+    # discriminability-vs-scale probe): on ridge-dominated batteries the
+    # per-sample witness signal vanishes part-way down the ridge, so a
+    # sample-trained critic goes blind before truth; the moment term's
+    # FIXED witness accumulates dataset-level signal across steps via the
+    # EMA (the mechanism that recovered mm13fix to CRLB scale), while the
+    # adversarial term preserves distribution-level fidelity beyond
+    # second moments. 0 = off (pure WGAN, reference behavior).
+    moment_anchor: float = 0.0
+    # EMA decay for the anchor's generated moments (ignored when
+    # moment_anchor == 0); effective sample count ~ batch/(1-gamma)
+    moment_ema: float = 0.995
+    moment_eps: float = 1e-2  # moment-normalization floor (as in mm)
 
     @property
     def critic_cfg(self) -> CriticConfig:
@@ -98,6 +114,12 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     # EMA of gen_params when cfg.ema_decay > 0, else None (empty pytree)
     ema_params: Any = None
+    # moment-anchor buffers (cfg.moment_anchor > 0 only; else None):
+    # frozen data moments + running EMA of generated moments
+    data_mean: Any = None
+    data_second: Any = None
+    mom_ema_mean: Any = None
+    mom_ema_second: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -143,8 +165,28 @@ def make_optimizers(cfg: WGANConfig):
     return tx(cfg.lr_gen), tx(cfg.lr_critic, critic_decay)
 
 
+def anchor_buffers(cfg, data_moments) -> dict:
+    """TrainState moment-anchor buffer fields for ``init_state``:
+    frozen data moments + zero-initialized generated-moment EMA (debiased
+    in the loss, as in models/moments.py). Shared with cwgan.init_state."""
+    if cfg.moment_anchor <= 0:
+        return {}
+    if data_moments is None:
+        raise ValueError("moment_anchor > 0 requires data_moments="
+                         "(mean, second) at init_state time")
+    dm, ds = data_moments
+    dtype = cfg.gen.dtype
+    return dict(
+        data_mean=jnp.asarray(dm, dtype),
+        data_second=jnp.asarray(ds, dtype),
+        mom_ema_mean=jnp.zeros(jnp.shape(dm), dtype),
+        mom_ema_second=jnp.zeros(jnp.shape(ds), dtype),
+    )
+
+
 def init_state(cfg: WGANConfig, key: jax.Array | None = None,
-               gen_init: Dict[str, jnp.ndarray] | None = None) -> TrainState:
+               gen_init: Dict[str, jnp.ndarray] | None = None,
+               data_moments=None) -> TrainState:
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     kc, _ = jax.random.split(key)
@@ -159,6 +201,7 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay > 0 else None),
+        **anchor_buffers(cfg, data_moments),
     )
 
 
@@ -176,17 +219,24 @@ def gradient_penalty(cfg: WGANConfig, critic_params, real, fake, key):
     return jnp.mean((norms - 1.0) ** 2)
 
 
-def fake_sample_weights(cfg: WGANConfig, out) -> jnp.ndarray | None:
-    """Per-critic-sample 0/1 weights for fake samples, matching the
-    dataset's survivor selection (see ``reject_unconverged``). None when
-    rejection is off."""
-    if not cfg.reject_unconverged:
-        return None
+def survivor_weights(cfg, out) -> jnp.ndarray:
+    """Per-critic-sample 0/1 weights matching the fake-truth dataset's
+    survivor selection (keep only circuits whose EVERY battery condition
+    converged; data/datasets.py). Per CIRCUIT, broadcast over that
+    circuit's critic samples."""
     conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
     ok = jnp.min(conv.astype(cfg.gen.dtype), axis=-1)  # (B,)
     if cfg.gen.track_offset_identity:
         return ok
     return jnp.repeat(ok, cfg.gen.samples_per_circuit())
+
+
+def fake_sample_weights(cfg: WGANConfig, out) -> jnp.ndarray | None:
+    """Survivor weights for the critic objective when
+    ``reject_unconverged`` is on; None (no masking) when off."""
+    if not cfg.reject_unconverged:
+        return None
+    return survivor_weights(cfg, out)
 
 
 def _wmean(x, w):
@@ -231,6 +281,13 @@ def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key,
 
 
 def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
+    loss, stats, _ = gen_loss_parts(cfg, gen_params, critic_params, key)
+    return loss, stats
+
+
+def gen_loss_parts(cfg: WGANConfig, gen_params, critic_params, key):
+    """Adversarial generator loss + stats + the raw generator output (so
+    callers can attach further out-dependent terms without re-solving)."""
     out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, key, cfg.batch_size)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, out.tc)
     pen = gen_lib.rate_penalty(cfg.gen, out.rates)
@@ -242,7 +299,32 @@ def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
     )
-    return loss, stats
+    return loss, stats, out
+
+
+def anchor_loss(cfg, state: TrainState, out):
+    """Moment-anchor term (see WGANConfig.moment_anchor): survivor-masked
+    EMA-averaged moment residual of the generated TCs against the frozen
+    data moments — models/moments.py's objective, evaluated inside the
+    GAN's generator update. Returns (loss, new_ema_mean, new_ema_second);
+    gradients flow through the current batch's (1 - gamma) contribution."""
+    from tcgan_tpu.models.moments import data_moments as batch_moments
+
+    # out.tc is (critic_batch, tc_dim): flatten any leading structure the
+    # same way the critic sees it.
+    tc = out.tc.reshape(-1, out.tc.shape[-1])
+    w = survivor_weights(cfg, out)
+    g = cfg.moment_ema
+    bmean, bsecond = batch_moments(tc, w)
+    new_em = g * jax.lax.stop_gradient(state.mom_ema_mean) + (1 - g) * bmean
+    new_es = (g * jax.lax.stop_gradient(state.mom_ema_second)
+              + (1 - g) * bsecond)
+    debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
+    wm = 1.0 / (jnp.abs(state.data_mean) + cfg.moment_eps) ** 2
+    wc = 1.0 / (jnp.abs(state.data_second) + cfg.moment_eps) ** 2
+    me = jnp.mean(wm * (new_em / debias - state.data_mean) ** 2)
+    ce = jnp.mean(wc * (new_es / debias - state.data_second) ** 2)
+    return me + ce, new_em, new_es
 
 
 def train_step_impl(
@@ -281,9 +363,16 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
-        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
-    )(state.gen_params)
+    def gen_total(gp_):
+        loss, stats, out = gen_loss_parts(cfg, gp_, critic_params, key_g)
+        if cfg.moment_anchor > 0:
+            aloss, new_em, new_es = anchor_loss(cfg, state, out)
+            loss = loss + cfg.moment_anchor * aloss
+            return loss, (stats, (new_em, new_es))
+        return loss, (stats, (None, None))
+
+    (g_loss, ((pen, fconv, fdiv, miters), mom_ema)), g_grads = \
+        jax.value_and_grad(gen_total, has_aux=True)(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
@@ -300,6 +389,12 @@ def train_step_impl(
         critic_opt=critic_opt,
         step=state.step + 1,
         ema_params=ema_params,
+        data_mean=state.data_mean,
+        data_second=state.data_second,
+        mom_ema_mean=(jax.lax.stop_gradient(mom_ema[0])
+                      if cfg.moment_anchor > 0 else None),
+        mom_ema_second=(jax.lax.stop_gradient(mom_ema[1])
+                        if cfg.moment_anchor > 0 else None),
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1],

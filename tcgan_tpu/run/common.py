@@ -148,6 +148,19 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "normalized to mean 1; upweights informative "
                         "(near-critical) contrasts in the critic and "
                         "generator objectives")
+    g.add_argument("--moment-anchor", type=float, default=0.0,
+                   help="hybrid objective: add this weight times the "
+                        "survivor-masked EMA-averaged moment-matching "
+                        "residual (models/moments.py) to the generator "
+                        "loss. The moment term's fixed witness accumulates "
+                        "dataset-level signal across steps where a sample-"
+                        "trained critic goes blind (ridge-dominated "
+                        "batteries, BASELINE.md round-3 scale probe); the "
+                        "adversarial term keeps distribution-level "
+                        "fidelity beyond second moments. 0 = off.")
+    g.add_argument("--anchor-ema", type=float, default=0.995,
+                   help="EMA decay for the anchor's generated moments "
+                        "(effective sample count ~ batch/(1-gamma))")
     g.add_argument("--critic-lr-decay-steps", type=int, default=-1,
                    help="critic-side lr decay horizon: -1 = follow "
                         "--lr-decay-steps, 0 = constant critic lr")

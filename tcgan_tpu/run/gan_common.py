@@ -137,6 +137,8 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         lr_decay_rate=args.lr_decay_rate,
         ema_decay=args.gen_ema,
         reject_unconverged=getattr(args, "reject_unconverged", False),
+        moment_anchor=getattr(args, "moment_anchor", 0.0),
+        moment_ema=getattr(args, "anchor_ema", 0.995),
         seed=args.seed,
     )
 
@@ -180,7 +182,10 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     gen_init = gen_lib.init_params(
         cfg.gen, common.as22(args.J), common.as22(args.D), common.as22(args.S)
     )
-    state = model.init_state(cfg, gen_init=gen_init)
+    state = model.init_state(
+        cfg, gen_init=gen_init,
+        data_moments=(dataset.moments()
+                      if cfg.moment_anchor > 0 else None))
     ckpt = CheckpointManager(store.subdir("ckpt"))
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)

@@ -82,6 +82,22 @@ def test_gan_cli_normalize_input_and_resume(tmp_path):
     assert steps == ["0", "1", "2", "3"]
 
 
+def test_gan_cli_moment_anchor_and_resume(tmp_path):
+    # Hybrid objective end-to-end: anchor buffers live in TrainState, so
+    # the checkpoint round-trip must carry them through --resume.
+    d = str(tmp_path / "ga")
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1.0",
+                              "--anchor-ema", "0.9",
+                              "--checkpoint-every", "2"])
+    assert rc == 0
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1.0",
+                              "--anchor-ema", "0.9", "--resume"])
+    assert rc == 0
+    steps = [l.split(",")[0] for l in
+             open(f"{d}/learning.csv").read().strip().split("\n")[1:]]
+    assert steps == ["0", "1", "2", "3"]
+
+
 def test_gan_cli_normalize_input_std_mode(tmp_path):
     # --normalize-input-mode std: per-feature 1/std whitening with the
     # 5%-of-mean-|TC| degeneracy floor (the scale the ridge-discrimination

@@ -105,6 +105,62 @@ def test_cwgan_train_step_runs():
                                cfg.gen.n_probe + 2)
 
 
+def test_wgan_moment_anchor_step_and_buffers():
+    """Hybrid objective (--moment-anchor): the train step must update the
+    moment-EMA buffers, keep everything finite, and actually change the
+    generator update relative to the pure-WGAN objective."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+
+    cfg0 = tiny_wgan_cfg()
+    cfg = tiny_wgan_cfg(moment_anchor=5.0, moment_ema=0.9)
+    with pytest.raises(ValueError):
+        wgan_lib.init_state(cfg)  # anchor needs data moments
+    state = wgan_lib.init_state(cfg, data_moments=dmom)
+    state0 = wgan_lib.init_state(cfg0)
+    real = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim),
+        dtype=jnp.float64) * 0.1 + 1.0
+    s1, m1 = wgan_lib.train_step(cfg, cfg.n_critic, state, real,
+                                 jax.random.PRNGKey(2))
+    s2, m2 = wgan_lib.train_step(cfg, cfg.n_critic, s1, real,
+                                 jax.random.PRNGKey(2))
+    # EMA buffers populated, finite, and evolving across steps
+    assert float(jnp.abs(s1.mom_ema_mean).max()) > 0
+    assert np.isfinite(np.asarray(s2.mom_ema_second)).all()
+    assert float(jnp.abs(s2.mom_ema_mean - s1.mom_ema_mean).max()) > 0
+    # frozen data moments carried through unchanged
+    np.testing.assert_array_equal(np.asarray(s2.data_mean),
+                                  np.asarray(dmom[0]))
+    # the anchor changes the generator update (same seeds otherwise)
+    s1_plain, _ = wgan_lib.train_step(cfg0, cfg0.n_critic, state0, real,
+                                      jax.random.PRNGKey(2))
+    dj = float(jnp.abs(s1.gen_params["J"] - s1_plain.gen_params["J"]).max())
+    assert dj > 0
+    assert np.isfinite(float(m1.g_loss)) and np.isfinite(float(m2.g_loss))
+
+
+def test_cwgan_moment_anchor_step():
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(11), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = cwgan_lib.CWGANConfig(gen=TINY_GEN, critic_layers=(16, 16),
+                                batch_size=4, n_critic=2, n_critic0=2,
+                                moment_anchor=1.0, moment_ema=0.9)
+    state = cwgan_lib.init_state(cfg, data_moments=dmom)
+    real_fake, _ = cwgan_lib.sample_conditional(
+        cfg, state.gen_params, jax.random.PRNGKey(3), cfg.batch_size)
+    real_stack = jnp.broadcast_to(
+        real_fake[None], (cfg.n_critic,) + real_fake.shape)
+    s1, m = cwgan_lib.train_step(cfg, cfg.n_critic, state, real_stack,
+                                 jax.random.PRNGKey(4))
+    assert np.isfinite(float(m.g_loss))
+    assert float(jnp.abs(s1.mom_ema_mean).max()) > 0
+    assert np.isfinite(np.asarray(s1.mom_ema_second)).all()
+
+
 def test_moment_matching_reduces_loss_toward_truth():
     cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=8, lr=5e-2)
     true_params = gen_lib.init_params(cfg.gen)  # data from the same params
