@@ -174,7 +174,7 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "diverged fakes, so on fragile (near-critical) "
                         "batteries the generator can drift into "
                         "divergence unopposed (measured: rec13d, fdiv "
-                        "0.8%->8% in 500 steps, then a degenerate "
+                        "0.8%%->8%% in 500 steps, then a degenerate "
                         "all-rejected critic). Prefer the default "
                         "penalty semantics there.")
     g.add_argument("--clip-grad", type=float, default=0.0,

@@ -36,6 +36,9 @@ def test_parsers_build_configs():
     for mod in (forward, gan, bptt_wgan, bptt_cwgan, moments, eval_cli):
         p = mod.make_parser()
         assert p is not None
+        # argparse %-expands help strings at print time; an unescaped '%'
+        # makes --help raise (regression: the --reject-unconverged help)
+        assert p.format_help()
     args = gan.make_parser().parse_args(
         TINY_GAN + ["--datastore", "/tmp/x"])
     cfg = common.generator_config_from_args(args, solver="ift")
