@@ -214,7 +214,7 @@ def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay > 0 else None),
-        **anchor_buffers(cfg, data_moments),
+        **anchor_buffers(cfg, data_moments, gen_params),
     )
 
 
@@ -252,20 +252,19 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    from tcgan_tpu.models.wgan import anchor_loss
+    from tcgan_tpu.models.wgan import apply_anchor_update
 
-    def gen_total(gp_):
-        loss, stats, out = gen_loss_parts(cfg, gp_, critic_params, key_g)
-        if cfg.moment_anchor > 0:
-            aloss, new_em, new_es = anchor_loss(cfg, state, out)
-            loss = loss + cfg.moment_anchor * aloss
-            return loss, (stats, (new_em, new_es))
-        return loss, (stats, (None, None))
-
-    (g_loss, ((pen, fconv, fdiv, miters), mom_ema)), g_grads = \
-        jax.value_and_grad(gen_total, has_aux=True)(state.gen_params)
+    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
+    )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+    # The anchor operates on the JOINT per-circuit TC vector — exactly the
+    # cross-condition structure the conditional row decomposition cannot
+    # see (BASELINE.md round-3 scale probe, conclusion 2).
+    gen_params, anchor_state = apply_anchor_update(cfg, state, gen_params,
+                                                   key_g)
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -278,10 +277,7 @@ def train_step_impl(
         critic_params=critic_params, critic_opt=critic_opt,
         step=state.step + 1, ema_params=ema_params,
         data_mean=state.data_mean, data_second=state.data_second,
-        mom_ema_mean=(jax.lax.stop_gradient(mom_ema[0])
-                      if cfg.moment_anchor > 0 else None),
-        mom_ema_second=(jax.lax.stop_gradient(mom_ema[1])
-                        if cfg.moment_anchor > 0 else None),
+        **anchor_state,
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1], g_loss=g_loss, wasserstein=ws[-1], gp=gps[-1],

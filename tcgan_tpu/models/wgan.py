@@ -76,17 +76,22 @@ class WGANConfig:
     # per-feature critic input scale (1/mean TC of the dataset when the
     # --normalize-input knob is on); None = raw inputs
     input_scale: Tuple[float, ...] | None = None
-    # Moment-anchor hybrid objective (--moment-anchor): add
-    # ``moment_anchor * L_moments`` to the generator loss, where
-    # L_moments is the survivor-masked, EMA-averaged moment-matching
-    # residual of models/moments.py. Rationale (BASELINE.md round-3
-    # discriminability-vs-scale probe): on ridge-dominated batteries the
-    # per-sample witness signal vanishes part-way down the ridge, so a
-    # sample-trained critic goes blind before truth; the moment term's
-    # FIXED witness accumulates dataset-level signal across steps via the
-    # EMA (the mechanism that recovered mm13fix to CRLB scale), while the
-    # adversarial term preserves distribution-level fidelity beyond
-    # second moments. 0 = off (pure WGAN, reference behavior).
+    # Moment-anchor hybrid objective (--moment-anchor): per GAN step,
+    # apply ONE extra Adam update to the generator on the survivor-masked,
+    # EMA-averaged moment-matching residual (models/moments.py), with this
+    # value as that update's OWN learn rate (0 = off; typical = the mm lr,
+    # 1e-3). A separate optimizer — rather than a weighted loss sum —
+    # because Adam is scale-invariant per objective: a summed loss lets
+    # the adversarial gradient's arbitrary scale mute the anchor (measured
+    # 15:1 at a 35% J offset with an untrained critic), whereas composed
+    # updates weight the two pulls by their lr ratio alone. Rationale
+    # (BASELINE.md round-3 discriminability-vs-scale probe): on
+    # ridge-dominated batteries the per-sample witness signal vanishes
+    # part-way down the ridge, so a sample-trained critic goes blind
+    # before truth; the moment term's FIXED witness accumulates
+    # dataset-level signal across steps via the EMA (the mechanism that
+    # recovered mm13fix to CRLB scale), while the adversarial term keeps
+    # distribution-level fidelity beyond second moments.
     moment_anchor: float = 0.0
     # EMA decay for the anchor's generated moments (ignored when
     # moment_anchor == 0); effective sample count ~ batch/(1-gamma)
@@ -115,11 +120,13 @@ class TrainState(NamedTuple):
     # EMA of gen_params when cfg.ema_decay > 0, else None (empty pytree)
     ema_params: Any = None
     # moment-anchor buffers (cfg.moment_anchor > 0 only; else None):
-    # frozen data moments + running EMA of generated moments
+    # frozen data moments + running EMA of generated moments + the
+    # anchor's own Adam state
     data_mean: Any = None
     data_second: Any = None
     mom_ema_mean: Any = None
     mom_ema_second: Any = None
+    anchor_opt: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -165,10 +172,20 @@ def make_optimizers(cfg: WGANConfig):
     return tx(cfg.lr_gen), tx(cfg.lr_critic, critic_decay)
 
 
-def anchor_buffers(cfg, data_moments) -> dict:
+def make_anchor_optimizer(cfg: WGANConfig):
+    """The anchor's own Adam (see WGANConfig.moment_anchor): constant lr =
+    moment_anchor, the WGAN betas, same clip/finite guards."""
+    adam = optax.adam(cfg.moment_anchor, b1=cfg.beta1, b2=cfg.beta2)
+    if cfg.clip_grad > 0:
+        adam = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+    return optax.apply_if_finite(adam, max_consecutive_errors=100)
+
+
+def anchor_buffers(cfg, data_moments, gen_params) -> dict:
     """TrainState moment-anchor buffer fields for ``init_state``:
     frozen data moments + zero-initialized generated-moment EMA (debiased
-    in the loss, as in models/moments.py). Shared with cwgan.init_state."""
+    in the loss, as in models/moments.py) + the anchor Adam state.
+    Shared with cwgan.init_state."""
     if cfg.moment_anchor <= 0:
         return {}
     if data_moments is None:
@@ -181,6 +198,7 @@ def anchor_buffers(cfg, data_moments) -> dict:
         data_second=jnp.asarray(ds, dtype),
         mom_ema_mean=jnp.zeros(jnp.shape(dm), dtype),
         mom_ema_second=jnp.zeros(jnp.shape(ds), dtype),
+        anchor_opt=make_anchor_optimizer(cfg).init(gen_params),
     )
 
 
@@ -201,7 +219,7 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay > 0 else None),
-        **anchor_buffers(cfg, data_moments),
+        **anchor_buffers(cfg, data_moments, gen_params),
     )
 
 
@@ -315,16 +333,55 @@ def anchor_loss(cfg, state: TrainState, out):
     tc = out.tc.reshape(-1, out.tc.shape[-1])
     w = survivor_weights(cfg, out)
     g = cfg.moment_ema
+    sg = jax.lax.stop_gradient
     bmean, bsecond = batch_moments(tc, w)
-    new_em = g * jax.lax.stop_gradient(state.mom_ema_mean) + (1 - g) * bmean
-    new_es = (g * jax.lax.stop_gradient(state.mom_ema_second)
-              + (1 - g) * bsecond)
+    new_em = g * sg(state.mom_ema_mean) + (1 - g) * sg(bmean)
+    new_es = g * sg(state.mom_ema_second) + (1 - g) * sg(bsecond)
     debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
+    # Straight-through moment estimate: VALUE = the debiased EMA (low-
+    # variance residual, ~batch/(1-gamma) effective samples), GRADIENT =
+    # the current batch's full-scale pathwise derivative. Unlike the pure
+    # moment matcher — where Adam's scale invariance absorbs the EMA's
+    # (1-gamma) gradient attenuation — the hybrid objective competes with
+    # the adversarial term inside ONE Adam update, so the attenuation
+    # would silently mute the anchor (measured: J frozen at the start in
+    # the tiny-battery recovery test until this compensation).
+    m_mean = sg(new_em / debias) + bmean - sg(bmean)
+    m_second = sg(new_es / debias) + bsecond - sg(bsecond)
     wm = 1.0 / (jnp.abs(state.data_mean) + cfg.moment_eps) ** 2
     wc = 1.0 / (jnp.abs(state.data_second) + cfg.moment_eps) ** 2
-    me = jnp.mean(wm * (new_em / debias - state.data_mean) ** 2)
-    ce = jnp.mean(wc * (new_es / debias - state.data_second) ** 2)
+    me = jnp.mean(wm * (m_mean - state.data_mean) ** 2)
+    ce = jnp.mean(wc * (m_second - state.data_second) ** 2)
     return me + ce, new_em, new_es
+
+
+def apply_anchor_update(cfg, state: TrainState, gen_params, key_g):
+    """Composed moment-anchor update (see WGANConfig.moment_anchor): one
+    extra Adam step on the anchor residual, applied AFTER the adversarial
+    generator update, with the anchor's own optimizer state. Returns the
+    updated params and the TrainState anchor fields. Shared with cwgan."""
+    if cfg.moment_anchor <= 0:
+        return gen_params, dict(mom_ema_mean=None, mom_ema_second=None,
+                                anchor_opt=None)
+    anchor_tx = make_anchor_optimizer(cfg)
+    key_a = jax.random.fold_in(key_g, 1)
+
+    def anchor_only(gp_):
+        out = gen_lib.sample_tuning_curves(cfg.gen, gp_, key_a,
+                                           cfg.batch_size)
+        aloss, new_em, new_es = anchor_loss(cfg, state, out)
+        return aloss, (new_em, new_es)
+
+    (_, (new_em, new_es)), a_grads = jax.value_and_grad(
+        anchor_only, has_aux=True)(gen_params)
+    a_updates, anchor_opt = anchor_tx.update(a_grads, state.anchor_opt,
+                                             gen_params)
+    gen_params = optax.apply_updates(gen_params, a_updates)
+    return gen_params, dict(
+        mom_ema_mean=jax.lax.stop_gradient(new_em),
+        mom_ema_second=jax.lax.stop_gradient(new_es),
+        anchor_opt=anchor_opt,
+    )
 
 
 def train_step_impl(
@@ -363,18 +420,14 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    def gen_total(gp_):
-        loss, stats, out = gen_loss_parts(cfg, gp_, critic_params, key_g)
-        if cfg.moment_anchor > 0:
-            aloss, new_em, new_es = anchor_loss(cfg, state, out)
-            loss = loss + cfg.moment_anchor * aloss
-            return loss, (stats, (new_em, new_es))
-        return loss, (stats, (None, None))
-
-    (g_loss, ((pen, fconv, fdiv, miters), mom_ema)), g_grads = \
-        jax.value_and_grad(gen_total, has_aux=True)(state.gen_params)
+    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+        lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
+    )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+    gen_params, anchor_state = apply_anchor_update(cfg, state, gen_params,
+                                                   key_g)
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -391,10 +444,7 @@ def train_step_impl(
         ema_params=ema_params,
         data_mean=state.data_mean,
         data_second=state.data_second,
-        mom_ema_mean=(jax.lax.stop_gradient(mom_ema[0])
-                      if cfg.moment_anchor > 0 else None),
-        mom_ema_second=(jax.lax.stop_gradient(mom_ema[1])
-                        if cfg.moment_anchor > 0 else None),
+        **anchor_state,
     )
     metrics = StepMetrics(
         d_loss=d_losses[-1],

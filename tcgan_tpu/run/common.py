@@ -149,15 +149,17 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "(near-critical) contrasts in the critic and "
                         "generator objectives")
     g.add_argument("--moment-anchor", type=float, default=0.0,
-                   help="hybrid objective: add this weight times the "
-                        "survivor-masked EMA-averaged moment-matching "
-                        "residual (models/moments.py) to the generator "
-                        "loss. The moment term's fixed witness accumulates "
-                        "dataset-level signal across steps where a sample-"
-                        "trained critic goes blind (ridge-dominated "
-                        "batteries, BASELINE.md round-3 scale probe); the "
+                   help="hybrid objective: per GAN step, one extra Adam "
+                        "update on the survivor-masked EMA-averaged "
+                        "moment-matching residual (models/moments.py), "
+                        "with THIS value as that update's own learn rate "
+                        "(typical: the mm lr, 1e-3; 0 = off). The moment "
+                        "term's fixed witness accumulates dataset-level "
+                        "signal across steps where a sample-trained "
+                        "critic goes blind (ridge-dominated batteries, "
+                        "BASELINE.md round-3 scale probe); the "
                         "adversarial term keeps distribution-level "
-                        "fidelity beyond second moments. 0 = off.")
+                        "fidelity beyond second moments.")
     g.add_argument("--anchor-ema", type=float, default=0.995,
                    help="EMA decay for the anchor's generated moments "
                         "(effective sample count ~ batch/(1-gamma))")

@@ -89,11 +89,11 @@ def test_gan_cli_moment_anchor_and_resume(tmp_path):
     # Hybrid objective end-to-end: anchor buffers live in TrainState, so
     # the checkpoint round-trip must carry them through --resume.
     d = str(tmp_path / "ga")
-    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1.0",
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1e-3",
                               "--anchor-ema", "0.9",
                               "--checkpoint-every", "2"])
     assert rc == 0
-    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1.0",
+    rc = gan.main(TINY_GAN + ["--datastore", d, "--moment-anchor", "1e-3",
                               "--anchor-ema", "0.9", "--resume"])
     assert rc == 0
     steps = [l.split(",")[0] for l in

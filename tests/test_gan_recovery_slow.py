@@ -104,3 +104,56 @@ def test_wgan_assembly_trains_end_to_end():
     assert float(after_peak.min()) <= peak - 0.25, (peak, after_peak.min())
     # 3) the TC distribution gap shrank materially at some point
     assert min(w1s) < 0.75 * w1_start, (w1_start, min(w1s), w1s)
+
+
+def test_wgan_moment_anchor_recovers_parameters():
+    """The hybrid objective (--moment-anchor) must do what the pure WGAN
+    at this budget cannot: RECOVER parameters on an identifiable battery.
+    Same circuit/offset as the moment-matching slow test (which proves the
+    J direction is identifiable here); the anchor's EMA-moment residual
+    should pull J toward truth within a few hundred steps while the
+    adversarial term stays finite. Best-over-trajectory (as in the mm
+    slow test): late-fit adversarial noise can kick the estimate around
+    at this tiny batch — the production damping levers (lr decay, gen
+    EMA) are deliberately off here to keep the fence about the anchor."""
+    from tcgan_tpu.models.moments import data_moments
+
+    data = generate_fake_truth(GEN, TRUE_J, TRUE_D, TRUE_S,
+                               num_samples=512, batch=128, seed=1)
+    data = jnp.asarray(data)
+    cfg = wgan_lib.WGANConfig(
+        gen=GEN, critic_layers=(32, 32), batch_size=64,
+        n_critic=2, n_critic0=10, lr_gen=1e-3, lr_critic=1e-3,
+        clip_grad=1.0, rate_cost=0.0, seed=0,
+        # anchor lr = the mm slow test's lr (which recovers J here);
+        # production-like anchor:adversarial lr ratio; short EMA so the
+        # buffer warms up within the budget
+        moment_anchor=5e-2, moment_ema=0.9,
+    )
+    true_params = gen_lib.init_params(GEN, TRUE_J, TRUE_D, TRUE_S)
+    start = {"J": true_params["J"] + 0.3,
+             "D": true_params["D"],
+             "S": true_params["S"]}
+    state = wgan_lib.init_state(cfg, gen_init=jax.tree.map(jnp.copy, start),
+                                data_moments=data_moments(data))
+
+    def j_err(params):
+        J, _, _ = gen_lib.param_values_np(GEN, params)
+        return float(np.abs(J - np.asarray(TRUE_J)).mean())
+
+    err_start = j_err(state.gen_params)
+    key = jax.random.PRNGKey(0)
+    n_data = data.shape[0]
+    best_err = np.inf
+    for step in range(300):
+        key, k_data, k_step = jax.random.split(key, 3)
+        n_critic = cfg.n_critic0 if step == 0 else cfg.n_critic
+        idx = jax.random.randint(k_data, (n_critic, cfg.critic_batch),
+                                 0, n_data)
+        state, m = wgan_lib.train_step(cfg, n_critic, state, data[idx],
+                                       k_step)
+        assert np.isfinite(float(m.g_loss)), step
+        if step % 25 == 0 and step > 0:
+            best_err = min(best_err, j_err(state.gen_params))
+    # same bar as the mm slow test's parameter-recovery assertion
+    assert best_err < 0.6 * err_start, (err_start, best_err)

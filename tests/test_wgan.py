@@ -114,7 +114,7 @@ def test_wgan_moment_anchor_step_and_buffers():
     dmom = mm_lib.data_moments(out.tc)
 
     cfg0 = tiny_wgan_cfg()
-    cfg = tiny_wgan_cfg(moment_anchor=5.0, moment_ema=0.9)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.9)
     with pytest.raises(ValueError):
         wgan_lib.init_state(cfg)  # anchor needs data moments
     state = wgan_lib.init_state(cfg, data_moments=dmom)
@@ -148,7 +148,7 @@ def test_cwgan_moment_anchor_step():
     dmom = mm_lib.data_moments(out.tc)
     cfg = cwgan_lib.CWGANConfig(gen=TINY_GEN, critic_layers=(16, 16),
                                 batch_size=4, n_critic=2, n_critic0=2,
-                                moment_anchor=1.0, moment_ema=0.9)
+                                moment_anchor=1e-2, moment_ema=0.9)
     state = cwgan_lib.init_state(cfg, data_moments=dmom)
     real_fake, _ = cwgan_lib.sample_conditional(
         cfg, state.gen_params, jax.random.PRNGKey(3), cfg.batch_size)
