@@ -331,6 +331,10 @@ def main() -> int:
         "value": round(rate_tpu, 1),
         "unit": "solves/s",
         "vs_baseline": round(vs_baseline, 2),
+        # honest per-chip ratio vs a 16-core workstation running the same
+        # OpenMP solver (VERDICT r2 #3: report it in the headline)
+        "vs_baseline_16core_est": round(vs_baseline / 16.0, 2)
+        if vs_baseline == vs_baseline else float("nan"),
         "detail": {
             "tpu_rate": round(rate_tpu, 1),
             "cpu_rate": round(rate_cpu, 1),
