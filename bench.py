@@ -326,6 +326,8 @@ def main() -> int:
         cpu_threads = 0
 
     vs_baseline = rate_tpu / rate_cpu if rate_cpu == rate_cpu else float("nan")
+    vs_16core = (round(vs_baseline / 16.0, 2)
+                 if vs_baseline == vs_baseline else float("nan"))
     result = {
         "metric": "batched SSN fixed-point solves/sec/chip (N=51, 8-stim battery)",
         "value": round(rate_tpu, 1),
@@ -333,8 +335,7 @@ def main() -> int:
         "vs_baseline": round(vs_baseline, 2),
         # honest per-chip ratio vs a 16-core workstation running the same
         # OpenMP solver (VERDICT r2 #3: report it in the headline)
-        "vs_baseline_16core_est": round(vs_baseline / 16.0, 2)
-        if vs_baseline == vs_baseline else float("nan"),
+        "vs_baseline_16core_est": vs_16core,
         "detail": {
             "tpu_rate": round(rate_tpu, 1),
             "cpu_rate": round(rate_cpu, 1),
@@ -346,8 +347,7 @@ def main() -> int:
                 "and vs_baseline_16core_est is the honest per-chip ratio "
                 "against such a machine"
             ),
-            "vs_baseline_16core_est": round(vs_baseline / 16.0, 2)
-            if vs_baseline == vs_baseline else float("nan"),
+            "vs_baseline_16core_est": vs_16core,
             "tpu_frac_converged": round(frac_conv, 4),
             "tpu_mean_iters": round(float(res.iters.mean()), 1),
             "tpu_batch": B_TPU,

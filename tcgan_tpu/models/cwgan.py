@@ -168,17 +168,8 @@ def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
 
 
 def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
-    loss, stats, _ = gen_loss_parts(cfg, gen_params, critic_params, key)
-    return loss, stats
-
-
-def gen_loss_parts(cfg: CWGANConfig, gen_params, critic_params, key):
-    """Generator loss (same contract as wgan.gen_loss_parts): negative
-    critic score of condition-tagged samples + rate penalty, plus the raw
-    generator output for out-dependent extra terms (moment anchor). The
-    anchor operates on the JOINT per-circuit TC vector — exactly the
-    cross-condition structure the conditional row decomposition cannot see
-    (BASELINE.md round-3 scale probe, conclusion 2)."""
+    """Generator loss (same signature as wgan.gen_loss_fn): negative critic
+    score of condition-tagged samples + rate penalty."""
     from tcgan_tpu.models.wgan import _wmean
 
     fake, out = sample_conditional(cfg, gen_params, key, cfg.batch_size)
@@ -192,7 +183,7 @@ def gen_loss_parts(cfg: CWGANConfig, gen_params, critic_params, key):
     )
     w = _combine_w(fake_row_weights(cfg, out),
                    cond_row_weights(cfg, d_fake.shape[0], dtype=fake.dtype))
-    return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats, out)
+    return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats)
 
 
 def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
@@ -262,9 +253,12 @@ def train_step_impl(
 
     # The anchor operates on the JOINT per-circuit TC vector — exactly the
     # cross-condition structure the conditional row decomposition cannot
-    # see (BASELINE.md round-3 scale probe, conclusion 2).
-    gen_params, anchor_state = apply_anchor_update(cfg, state, gen_params,
-                                                   key_g)
+    # see (BASELINE.md round-3 scale probe, conclusion 2). The joint
+    # layout cfg matches the dataset representation gan_common computes
+    # the data moments from (track_offset_identity=True).
+    gen_params, anchor_state, a_res = apply_anchor_update(
+        cfg, state, gen_params, key_g,
+        gen_cfg=dataclasses.replace(cfg.gen, track_offset_identity=True))
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -285,6 +279,7 @@ def train_step_impl(
         mean_iters=miters, d_accuracy=accs[-1],
         d_loss_iters=d_losses, wasserstein_iters=ws, gp_iters=gps,
         acc_iters=accs,
+        anchor_residual=a_res,
     )
     return new_state, metrics
 

