@@ -127,8 +127,15 @@ def fake_row_weights(cfg: CWGANConfig, out) -> jnp.ndarray | None:
     if not cfg.reject_unconverged:
         return None
     conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
-    ok = jnp.min(conv.astype(cfg.gen.dtype), axis=-1, keepdims=True)  # (B,1)
-    return jnp.broadcast_to(ok, conv.shape).reshape(-1)
+    convf = conv.astype(cfg.gen.dtype)
+    ok = jnp.min(convf, axis=-1, keepdims=True)  # (B, 1)
+    strict = jnp.broadcast_to(ok, conv.shape)
+    # Absorbing-state fallback (see wgan._survivor_chain): when NO circuit
+    # fully converged, fall back to the per-solve row mask — converged rows
+    # of partially-diverged circuits re-enter the loss so the generator
+    # keeps a gradient pulling it back toward the convergent region;
+    # strict per-circuit semantics resume as soon as any circuit survives.
+    return jnp.where(jnp.sum(ok) > 0.0, strict, convf).reshape(-1)
 
 
 def critic_loss_fn(cfg: CWGANConfig, critic_params, real, fake, key,
@@ -180,6 +187,7 @@ def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
         jnp.mean(out.converged.astype(jnp.float32)),
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
+        jnp.mean(jnp.min(out.converged.astype(jnp.float32), axis=-1)),
     )
     w = _combine_w(fake_row_weights(cfg, out),
                    cond_row_weights(cfg, d_fake.shape[0], dtype=fake.dtype))
@@ -245,7 +253,7 @@ def train_step_impl(
 
     from tcgan_tpu.models.wgan import apply_anchor_update
 
-    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+    (g_loss, (pen, fconv, fdiv, miters, cyield)), g_grads = jax.value_and_grad(
         lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
     )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
@@ -280,6 +288,7 @@ def train_step_impl(
         d_loss_iters=d_losses, wasserstein_iters=ws, gp_iters=gps,
         acc_iters=accs,
         anchor_residual=a_res,
+        circuit_yield=cyield,
     )
     return new_state, metrics
 

@@ -152,6 +152,12 @@ class StepMetrics(NamedTuple):
     # moment-anchor residual (cfg.moment_anchor > 0 only; recorded in the
     # learning.jsonl stream so a silently-stuck anchor is observable)
     anchor_residual: jnp.ndarray | None = None
+    # fraction of generated circuits whose EVERY battery condition
+    # converged — the survivor yield the rejection mask keys on. A yield
+    # collapse (the rec13anchor absorbing state) is visible here long
+    # before frac_diverged looks alarming: at 24 conditions/circuit, 9%
+    # per-solve divergence is ~0% circuit yield.
+    circuit_yield: jnp.ndarray | None = None
 
 
 def make_optimizers(cfg: WGANConfig):
@@ -240,13 +246,31 @@ def gradient_penalty(cfg: WGANConfig, critic_params, real, fake, key):
     return jnp.mean((norms - 1.0) ** 2)
 
 
+def _survivor_chain(conv, dtype) -> jnp.ndarray:
+    """Per-circuit survivor weights with an absorbing-state fallback.
+
+    Primary: the strict all-conditions mask matching the fake-truth
+    dataset's survivor selection (data/datasets.py). Fallback: when NO
+    circuit in the batch fully converged — the rec13anchor absorbing
+    state: an all-zero mask deletes the adversarial AND anchor gradients
+    while _wmean's unweighted fallback hands the critic ceiling-clamped
+    fakes to explode on — use the SOFT weight (fraction of converged
+    conditions per circuit). Mostly-converged circuits then keep pulling
+    the generator back toward the convergent region; once any circuit
+    fully converges again the strict semantics resume. (The _wmean
+    unweighted fallback remains as the final guard for a batch where not
+    even one solve converged.)"""
+    convf = jax.lax.stop_gradient(conv).astype(dtype)  # (B, S)
+    strict = jnp.min(convf, axis=-1)  # (B,)
+    soft = jnp.mean(convf, axis=-1)  # (B,)
+    return jnp.where(jnp.sum(strict) > 0.0, strict, soft)
+
+
 def survivor_weights(cfg, out) -> jnp.ndarray:
-    """Per-critic-sample 0/1 weights matching the fake-truth dataset's
-    survivor selection (keep only circuits whose EVERY battery condition
-    converged; data/datasets.py). Per CIRCUIT, broadcast over that
-    circuit's critic samples."""
-    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
-    ok = jnp.min(conv.astype(cfg.gen.dtype), axis=-1)  # (B,)
+    """Per-critic-sample weights matching the fake-truth dataset's
+    survivor selection (see _survivor_chain). Per CIRCUIT, broadcast over
+    that circuit's critic samples."""
+    ok = _survivor_chain(out.converged, cfg.gen.dtype)  # (B,)
     if cfg.gen.track_offset_identity:
         return ok
     return jnp.repeat(ok, cfg.gen.samples_per_circuit())
@@ -312,6 +336,7 @@ def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
         jnp.mean(out.converged.astype(jnp.float32)),
         jnp.mean(out.diverged.astype(jnp.float32)),
         jnp.mean(out.iters.astype(jnp.float32)),
+        jnp.mean(jnp.min(out.converged.astype(jnp.float32), axis=-1)),
     )
     return loss, stats
 
@@ -329,8 +354,9 @@ def anchor_loss(cfg, state: TrainState, out):
     # unconditional track_offset_identity=False layout) — derive the
     # survivor mask from the ACTUAL row count rather than cfg.gen flags.
     tc = out.tc.reshape(-1, out.tc.shape[-1])
-    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
-    ok = jnp.min(conv.astype(tc.dtype), axis=-1)  # (B,) per circuit
+    # per-circuit survivor mask with the absorbing-state fallback chain —
+    # an all-rejected batch must not zero the anchor gradient either
+    ok = _survivor_chain(out.converged, tc.dtype)  # (B,)
     if tc.shape[0] != ok.shape[0]:
         ok = jnp.repeat(ok, tc.shape[0] // ok.shape[0])
     w = ok
@@ -434,7 +460,7 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    (g_loss, (pen, fconv, fdiv, miters)), g_grads = jax.value_and_grad(
+    (g_loss, (pen, fconv, fdiv, miters, cyield)), g_grads = jax.value_and_grad(
         lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
     )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
@@ -475,6 +501,7 @@ def train_step_impl(
         gp_iters=gps,
         acc_iters=accs,
         anchor_residual=a_res,
+        circuit_yield=cyield,
     )
     return new_state, metrics
 

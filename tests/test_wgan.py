@@ -401,10 +401,17 @@ def test_reject_unconverged_fakes():
     if ok.any():
         # mixed batch: masking must change the loss
         assert float(lh_on) != float(lh_off)
+    elif np.asarray(out.converged).any():
+        # NO circuit fully converged but some solves did: the absorbing-
+        # state fallback (wgan._survivor_chain) weights circuits by their
+        # converged-condition fraction instead of deleting the gradient
+        # (the rec13anchor freeze) — a weighted loss, not the unweighted one
+        w = np.asarray(out.converged).mean(axis=-1)
+        assert w.std() == 0 or float(lh_on) != float(lh_off)
     else:
-        # ALL circuits rejected: the degeneracy guard falls back to the
-        # unweighted mean (a silent zero would delete the fake term and
-        # unbound the critic — the rec13d blow-up)
+        # not even one solve converged: the _wmean degeneracy guard falls
+        # back to the unweighted mean (a silent zero would delete the fake
+        # term and unbound the critic — the rec13d blow-up)
         np.testing.assert_allclose(float(lh_on), float(lh_off), rtol=1e-12)
     assert np.isfinite(float(lh_on))
 
@@ -413,3 +420,54 @@ def test_reject_unconverged_fakes():
         k, (cfg_on.n_critic, cfg_on.critic_batch, cfg_on.gen.tc_dim)) + 1.0
     new_state, m = wgan_lib.train_step(cfg_on, cfg_on.n_critic, state, real, k)
     assert np.isfinite(float(m.d_loss)) and np.isfinite(float(m.g_loss))
+
+
+def test_survivor_chain_absorbing_state_fallback():
+    """The rejection mask must never zero out entirely while any solve
+    converges (the rec13anchor absorbing state: all-zero mask -> no
+    adversarial/anchor gradient, critic explodes on clamped fakes).
+    Chain: strict all-conditions mask -> soft converged-fraction weights
+    (wgan) / per-solve row mask (cwgan) -> _wmean unweighted guard."""
+    import jax.numpy as jnp
+
+    from tcgan_tpu.models import cwgan as cwgan_lib
+    from tcgan_tpu.models.wgan import _survivor_chain
+
+    # one fully-converged circuit: strict semantics
+    conv = jnp.array([[True, True, True], [True, False, True]])
+    w = np.asarray(_survivor_chain(conv, jnp.float64))
+    np.testing.assert_allclose(w, [1.0, 0.0])
+
+    # NO fully-converged circuit, partial convergence: soft fractions
+    conv = jnp.array([[False, True, True], [True, False, False]])
+    w = np.asarray(_survivor_chain(conv, jnp.float64))
+    np.testing.assert_allclose(w, [2.0 / 3.0, 1.0 / 3.0])
+    assert w.sum() > 0  # gradient survives
+
+    # nothing converged: all-zero (the _wmean guard then takes over)
+    conv = jnp.zeros((2, 3), bool)
+    np.testing.assert_allclose(
+        np.asarray(_survivor_chain(conv, jnp.float64)), 0.0)
+
+    # cwgan rows: strict per-circuit broadcast when any circuit survives...
+    ccfg = cwgan_lib.CWGANConfig(gen=TINY_GEN, batch_size=2,
+                                 reject_unconverged=True)
+    S = TINY_GEN.n_stim
+
+    class FakeOut:
+        pass
+
+    out = FakeOut()
+    conv = np.zeros((2, S), bool)
+    conv[0, :] = True  # circuit 0 fully converged
+    conv[1, 0] = True
+    out.converged = jnp.asarray(conv)
+    w = np.asarray(cwgan_lib.fake_row_weights(ccfg, out))
+    np.testing.assert_allclose(w.reshape(2, S)[0], 1.0)
+    np.testing.assert_allclose(w.reshape(2, S)[1], 0.0)
+
+    # ...per-solve row mask when none does
+    conv[0, 1] = False
+    out.converged = jnp.asarray(conv)
+    w = np.asarray(cwgan_lib.fake_row_weights(ccfg, out)).reshape(2, S)
+    np.testing.assert_allclose(w, np.asarray(conv, float))
