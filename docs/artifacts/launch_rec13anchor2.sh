@@ -23,7 +23,7 @@ done
 echo "[watcher] chip granted at $(date +%H:%M:%S); launching rec13anchor2" >&2
 exec python -u -m tcgan_tpu.run.gan \
   --datastore runs/rec13anchor2 \
-  --N 51 --batch-size 256 --n-steps 90000 \
+  --N 51 --batch-size 256 --n-steps 60000 \
   --max-iter 8000 --atol 1e-4 \
   --J 0.0585 0.052 0.065 0.0455 \
   --D 0.07 0.056 0.07 0.056 \
@@ -36,14 +36,16 @@ exec python -u -m tcgan_tpu.run.gan \
   --sample-sites 4 --include-inhibitory-neurons --track_offset_identity \
   --antithetic \
   --disc-layers 512 512 \
-  --normalize-input-mode std \
+  --normalize-input --normalize-input-mode std \
   --reject-unconverged --rate-cost 0.05 \
-  --moment-anchor 1e-3 --anchor-ema 0.995 \
+  --moment-anchor 2e-3 --anchor-ema 0.995 \
   --gen-learn-rate 1e-4 --disc-learn-rate 1e-3 \
   --critic-lr-decay-steps 0 --lr-decay-steps 12000 \
   --gen-ema 0.999 --clip-grad 1.0 \
   --solver-backend pallas --checkpoint-every 2500 --timing-every 500
-# n-steps 90000: mm13fix's D error trajectory at the same anchor lr
-# (1e-3) crossed 10% only around ~60k steps (21% @30k, 12% @54k); the
-# run checkpoints every 2500 so it can be stopped and evaluated at any
-# gate-clearing point.
+# Anchor lr 2e-3 / 60k steps: at mm13fix's lr (1e-3) the D error
+# crossed 10% only around ~60k steps (21% @30k, 12% @54k) and settled
+# at 3.5% by 96k; Adam's settling error scales ~sqrt(lr), so 2e-3
+# roughly halves the steps-to-gate at a ~5% expected D settle —
+# comfortably inside the 10% gate at ~4h instead of ~6h of chip time.
+# Checkpoints every 2500 allow stop/eval at any gate-clearing point.
