@@ -126,8 +126,11 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--normalize-input", action="store_true",
                    help="scale critic inputs by 1/mean dataset tuning curve")
     g.add_argument("--normalize-input-mode", choices=("mean", "std"),
-                   default="mean",
-                   help="per-feature scale for --normalize-input: 'mean' = "
+                   default=None,
+                   help="per-feature scale for --normalize-input (and "
+                        "implies it when given explicitly — passing a mode "
+                        "without the switch would otherwise silently run "
+                        "unnormalized): 'mean' = "
                         "1/|mean TC| (reference-style), 'std' = 1/std with "
                         "a 5%%-of-mean-|TC| degeneracy floor (whitens the "
                         "joint critic input; the scale the ridge-"

@@ -264,10 +264,21 @@ def _run(args, gen_cfg, step_fn, model) -> int:
                     if conditional else gen_cfg)
     dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
+    # an explicit --normalize-input-mode implies --normalize-input, as in
+    # gan_common (and info.json then records what actually ran)
+    norm_mode = getattr(args, "normalize_input_mode", None)
+    if norm_mode is not None:
+        args.normalize_input = True
     input_scale = None
     if args.normalize_input:
-        mean_tc = np.asarray(dataset.tc).mean(axis=0)
-        scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
+        # 'std' whitens with the same degeneracy floor as gan_common
+        tc = np.asarray(dataset.tc)
+        if norm_mode == "std":
+            denom = tc.std(axis=0)
+            floor = 0.05 * float(np.abs(tc).mean())
+            scale = 1.0 / np.maximum(denom, max(floor, 1e-6))
+        else:
+            scale = 1.0 / np.maximum(np.abs(tc.mean(axis=0)), 1e-6)
         if conditional:
             probe_scale = scale.reshape(gen_cfg.n_stim,
                                         gen_cfg.n_probe).mean(axis=0)

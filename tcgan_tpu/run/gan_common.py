@@ -22,6 +22,12 @@ def make_gan_parser(doc: str) -> argparse.ArgumentParser:
 def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     import dataclasses
 
+    # An explicit --normalize-input-mode implies --normalize-input (a mode
+    # without the switch would silently run unnormalized); normalize the
+    # args object up front so info.json records what actually ran.
+    if getattr(args, "normalize_input_mode", None) is not None:
+        args.normalize_input = True
+
     import jax
 
     from tcgan_tpu.models import cwgan as cwgan_lib

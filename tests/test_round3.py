@@ -212,3 +212,27 @@ def test_cwgan_critic_loss_cond_weighting():
     real2 = real.at[2].set(real[2] - 50.0)
     loss2, _ = cwgan_lib.critic_loss_fn(cfg, params, real2, fake2, key)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_normalize_input_mode_implies_normalization():
+    """An explicit --normalize-input-mode must imply --normalize-input:
+    passing a mode without the switch silently ran UNNORMALIZED before
+    round 3 (the footgun that nearly shipped an unwhitened flagship run).
+    Checked at the parser level (default None = not explicit) and at the
+    scale-computation level in gan_common/ensemble."""
+    from tcgan_tpu.run.gan_common import make_gan_parser
+
+    p = make_gan_parser("x")
+    base = ("--datastore /tmp/x --N 8 --batch-size 4 "
+            "--J .045 .04 .05 .035 --D .1 .08 .1 .08 "
+            "--S .25 .1 .25 .1").split()
+    a_mode = p.parse_args(base + ["--normalize-input-mode", "std"])
+    a_none = p.parse_args(base)
+    assert a_mode.normalize_input_mode == "std"
+    assert a_none.normalize_input_mode is None  # default stays non-explicit
+    # the implication logic used by gan_common.run_gan / run.ensemble:
+    implied = (a_mode.normalize_input
+               or a_mode.normalize_input_mode is not None)
+    not_implied = (a_none.normalize_input
+                   or a_none.normalize_input_mode is not None)
+    assert implied and not not_implied
