@@ -1,0 +1,108 @@
+#!/bin/bash
+# Round-3 TPU job-queue orchestrator (one TPU process at a time — the
+# axon chip serializes clients, so everything here runs strictly after
+# the flagship watcher/run pid exits).
+#
+# Queue (from the round plan):
+#   0. wait for the flagship rec13anchor2 (pid file /tmp/rec13anchor2.pid),
+#      stopping it early when the recovery gate is cleared (J<=7% AND
+#      D<=7% at step>=15000 — margin under the 10% VERDICT gate) or at
+#      the hard deadline STOP_AT (default 06:10 UTC, ~80 min before the
+#      round-3 driver bench at ~07:32).
+#   1. eval + fit_quality on runs/rec13anchor2 (params from generator.csv
+#      tail — robust to a SIGTERM'd run; no checkpoint required).
+#   2. mm13fix endpoint W1 eval (hybrid-vs-pure-mm comparison number).
+#   3. if >=100 min remain: multi-start mm ensemble on (5,10,13)
+#      (launch_mmens13.sh), bounded so it cannot collide with the driver.
+#
+# Every TPU step is `timeout`-bounded; if the chip never returns, each
+# step times out and the script exits without wedging anything.
+set -u
+cd /root/repo
+PIDFILE=/tmp/rec13anchor2.pid
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-18 06:10" +%s)}
+GATE_STEP=15000
+
+gate_cleared() {
+  python - <<'EOF'
+import csv, sys
+import numpy as np
+try:
+    rows = list(csv.reader(open("runs/rec13anchor2/generator.csv")))
+    data = np.array(rows[1:], dtype=float)
+except Exception:
+    sys.exit(1)
+if len(data) < 5:
+    sys.exit(1)
+TJ = np.array([0.045, 0.04, 0.05, 0.035])
+TD = np.array([0.1, 0.08, 0.1, 0.08])
+# require the last 3 recorded rows all inside the margin gate, past
+# GATE_STEP, so a transient dip does not stop the run
+tail = data[-3:]
+ok = (tail[:, 0].min() >= 15000
+      and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= 0.07).all()
+      and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= 0.07).all())
+sys.exit(0 if ok else 1)
+EOF
+}
+
+echo "[queue] waiting on flagship (stop-at $(date -u -d @"$STOP_AT" +%H:%M) UTC)" >&2
+while [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; do
+  now=$(date -u +%s)
+  if [ "$now" -ge "$STOP_AT" ]; then
+    echo "[queue] $(date -u +%H:%M:%S) deadline: stopping flagship" >&2
+    kill "$(cat "$PIDFILE")" 2>/dev/null
+    sleep 30
+    kill -9 "$(cat "$PIDFILE")" 2>/dev/null
+    break
+  fi
+  if gate_cleared; then
+    echo "[queue] $(date -u +%H:%M:%S) recovery gate cleared: stopping flagship" >&2
+    kill "$(cat "$PIDFILE")" 2>/dev/null
+    sleep 30
+    break
+  fi
+  sleep 120
+done
+sleep 10
+
+TRUTH="--true-J 0.045 0.04 0.05 0.035 --true-D 0.1 0.08 0.1 0.08 --true-S 0.25 0.1 0.25 0.1"
+
+if [ -f runs/rec13anchor2/generator.csv ]; then
+  echo "[queue] $(date -u +%H:%M:%S) eval rec13anchor2" >&2
+  timeout 1800 python -u -m tcgan_tpu.run.eval --run runs/rec13anchor2 \
+    --datastore runs/rec13anchor2_eval $TRUTH \
+    --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
+    --eval-samples 2048 --params-source csv \
+    > /tmp/rec13anchor2_eval.json 2>/tmp/rec13anchor2_eval.err
+  echo "[queue] eval rc=$?" >&2
+  # host-side one-page fit figure (learning curves + trajectories + TC
+  # distribution panels from the eval datastore)
+  timeout 600 python -m tcgan_tpu.analysis.fit_quality runs/rec13anchor2 \
+    --eval runs/rec13anchor2_eval -o docs/artifacts/rec13anchor2_fit.png \
+    > /tmp/rec13anchor2_fit.log 2>&1
+  echo "[queue] fit_quality rc=$?" >&2
+fi
+
+echo "[queue] $(date -u +%H:%M:%S) mm13fix endpoint eval" >&2
+timeout 1800 python -u -m tcgan_tpu.run.eval --run runs/mm13fix \
+  --datastore runs/mm13fix_eval $TRUTH \
+  --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
+  --eval-samples 2048 --params-source csv \
+  > /tmp/mm13fix_eval.json 2>/tmp/mm13fix_eval.err
+echo "[queue] mm13fix eval rc=$?" >&2
+
+now=$(date -u +%s); left=$(( STOP_AT + 4800 - now ))
+if [ "$left" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
+  echo "[queue] $(date -u +%H:%M:%S) launching mmens13 (bound $((left-1200))s)" >&2
+  timeout $((left - 1800)) bash docs/artifacts/launch_mmens13.sh \
+    > /tmp/mmens13.log 2>&1
+  echo "[queue] mmens13 rc=$?" >&2
+  # host-side post-processing (no TPU): seed spread vs the identifiability
+  # spectrum for the estimator that recovers parameters
+  timeout 600 python -m tcgan_tpu.analysis.ensemble_view runs/mmens13 \
+    --jacobian docs/artifacts/jacobian_51013_rich.npz \
+    -o docs/artifacts/mmens13.png > /tmp/mmens13_view.log 2>&1
+  echo "[queue] ensemble_view rc=$?" >&2
+fi
+echo "[queue] $(date -u +%H:%M:%S) done" >&2
