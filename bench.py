@@ -24,8 +24,47 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 240.0, retries: int = 2) -> bool:
+    """Bounded TPU-client liveness probe (subprocess).
+
+    Initializing ANY JAX device API initializes every registered platform
+    plugin, and a single-chip TPU plugin can hang indefinitely on client
+    init during a pool outage (observed 2026-08-17/18) — which would wedge
+    the bench with no output at all. Probe in a killable subprocess first;
+    on repeated failure the caller emits ONE honest error JSON line instead
+    of hanging. Returns True when backends initialize (TPU or CPU-only
+    dev box — both were previously supported paths)."""
+    import subprocess
+
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, timeout=timeout_s, text=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries:
+            time.sleep(60.0)
+    return False
+
+
 def main() -> int:
     import pathlib
+
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "ssn_fixed_point_solves_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "error": ("TPU client init hung past the bounded probe "
+                      "(pool outage); see BENCH_r02.json for the last "
+                      "healthy-chip measurement"),
+        }))
+        return 0
 
     import jax
     import jax.numpy as jnp
