@@ -36,9 +36,12 @@ if len(data) < 5:
     sys.exit(1)
 TJ = np.array([0.045, 0.04, 0.05, 0.035])
 TD = np.array([0.1, 0.08, 0.1, 0.08])
-# require the last 3 recorded rows all inside the margin gate, past
-# GATE_STEP, so a transient dip does not stop the run
-tail = data[-3:]
+# generator.csv records EVERY step, so sample rows ~500 steps apart:
+# require the gate to hold across a ~1000-step window past GATE_STEP so
+# a transient dip does not stop the run
+if len(data) < 1001:
+    sys.exit(1)
+tail = data[[-1001, -501, -1]]
 ok = (tail[:, 0].min() >= 15000
       and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= 0.07).all()
       and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= 0.07).all())
