@@ -21,18 +21,16 @@ set -u
 cd /root/repo
 PIDFILE=/tmp/rec13anchor2.pid
 STOP_AT=${STOP_AT:-$(date -u -d "2026-08-18 06:10" +%s)}
-GATE_STEP=15000
+export GATE_STEP=${GATE_STEP:-15000}
 
 gate_cleared() {
   python - <<'EOF'
-import csv, sys
+import csv, os, sys
 import numpy as np
 try:
     rows = list(csv.reader(open("runs/rec13anchor2/generator.csv")))
     data = np.array(rows[1:], dtype=float)
 except Exception:
-    sys.exit(1)
-if len(data) < 5:
     sys.exit(1)
 TJ = np.array([0.045, 0.04, 0.05, 0.035])
 TD = np.array([0.1, 0.08, 0.1, 0.08])
@@ -42,7 +40,7 @@ TD = np.array([0.1, 0.08, 0.1, 0.08])
 if len(data) < 1001:
     sys.exit(1)
 tail = data[[-1001, -501, -1]]
-ok = (tail[:, 0].min() >= 15000
+ok = (tail[:, 0].min() >= float(os.environ.get("GATE_STEP", "15000"))
       and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= 0.07).all()
       and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= 0.07).all())
 sys.exit(0 if ok else 1)

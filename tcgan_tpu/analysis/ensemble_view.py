@@ -72,13 +72,21 @@ def plot_ensemble(rec: EnsembleRecord, out_path, jacobian=None):
         ax.set_title(f"{name} trajectories ({K} members)")
         ax.legend(fontsize=7)
 
-    for j, col in enumerate(("d_loss", "d_accuracy", "frac_converged")):
+    # Metric columns differ per estimator family: the WGAN ensemble logs
+    # (d_loss, d_accuracy, ...), the moment-matching ensemble logs
+    # (loss, mean_err, cov_err, ...) — pick the first three present.
+    metric_cols = [c for c in ("d_loss", "d_accuracy", "loss", "mean_err",
+                               "cov_err", "frac_converged")
+                   if c in rec.table][:ncols]
+    for j, col in enumerate(metric_cols):
         ax = axes[1][j]
         for m in range(K):
             mask = rec.member_mask(m)
             ax.plot(rec.table["step"][mask], rec.table[col][mask], lw=0.7,
                     alpha=0.7)
         ax.set_title(col)
+    for j in range(len(metric_cols), ncols):
+        axes[1][j].axis("off")
 
     summary = {"n_members": K}
     if jacobian is not None:

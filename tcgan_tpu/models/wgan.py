@@ -363,8 +363,19 @@ def anchor_loss(cfg, state: TrainState, out):
     g = cfg.moment_ema
     sg = jax.lax.stop_gradient
     bmean, bsecond = batch_moments(tc, w)
-    new_em = g * sg(state.mom_ema_mean) + (1 - g) * sg(bmean)
-    new_es = g * sg(state.mom_ema_second) + (1 - g) * sg(bsecond)
+    # Zero-survivor guard: a batch where not even one solve converged
+    # yields all-zero weights, and batch_moments then returns zeros — NOT
+    # an estimate. Blending those into the EMA would drag the anchor
+    # toward zero for ~1/(1-gamma) subsequent steps after the generator
+    # recovers, biasing the straight-through residual; hold the EMA
+    # instead (the batch's pathwise gradient is already zero through w).
+    has_data = jnp.sum(w) > 0
+    new_em = jnp.where(has_data,
+                       g * sg(state.mom_ema_mean) + (1 - g) * sg(bmean),
+                       sg(state.mom_ema_mean))
+    new_es = jnp.where(has_data,
+                       g * sg(state.mom_ema_second) + (1 - g) * sg(bsecond),
+                       sg(state.mom_ema_second))
     debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
     # Straight-through moment estimate: VALUE = the debiased EMA (low-
     # variance residual, ~batch/(1-gamma) effective samples), GRADIENT =

@@ -251,16 +251,123 @@ def add_data_flags(p: argparse.ArgumentParser):
 def explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
     """Dests of options explicitly present on the command line (vs taking
     their parser default). Used by eval-style tools that default-load the
-    training run's recorded config and let explicit flags override it."""
+    training run's recorded config and let explicit flags override it.
+
+    Matches argparse's prefix-abbreviation rule (allow_abbrev): an
+    unambiguous ``--contrast`` sets the ``contrasts`` dest, so it must be
+    marked explicit too — otherwise apply_run_config would silently
+    overwrite the user's typed value with the run's recorded one."""
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
+    tokens = []
+    for tok in argv:
+        if tok == "--":  # argparse: everything after is positional
+            break
+        if tok.startswith("--"):
+            tokens.append(tok.split("=", 1)[0])
     seen = set()
-    for a in parser._actions:
-        for opt in a.option_strings:
-            if any(tok == opt or tok.startswith(opt + "=") for tok in argv):
-                seen.add(a.dest)
+    for tok in tokens:
+        exact = [a for a in parser._actions if tok in a.option_strings]
+        if exact:
+            seen.add(exact[0].dest)
+            continue
+        # unambiguous abbreviation: all prefix-matching options must agree
+        # on one dest (argparse itself errors out on ambiguous prefixes
+        # before any caller reaches this helper)
+        dests = {a.dest for a in parser._actions
+                 if any(o.startswith(tok) for o in a.option_strings
+                        if o.startswith("--"))}
+        if len(dests) == 1:
+            seen.add(dests.pop())
     return seen
+
+
+def critic_input_scales(args, gen_cfg, dataset, conditional):
+    """Critic input-normalization scales from the dataset: honors
+    ``--normalize-per-condition`` (conditional runs only) and
+    ``--normalize-input`` / ``--normalize-input-mode`` (an explicit mode
+    implies the switch; ``args`` is updated in place so info.json records
+    what actually ran). Shared by gan_common and run.ensemble so an
+    identically-flagged ensemble member trains with the same critic
+    inputs as the single-run recipe.
+
+    Returns ``(input_scale, cond_input_scale)`` — flat tuples or None."""
+    import numpy as np
+
+    if getattr(args, "normalize_input_mode", None) is not None:
+        args.normalize_input = True
+    per_cond = getattr(args, "normalize_per_condition", None)
+    if per_cond is not None and not conditional:
+        raise SystemExit(
+            "--normalize-per-condition requires a conditional run "
+            "(run.cwgan / run.bptt_cwgan); for the unconditional critic "
+            "use --normalize-input [--normalize-input-mode std]")
+    input_scale = None
+    cond_input_scale = None
+    if conditional and per_cond is not None:
+        # Per-(condition, probe) scale: keeps the heavy-tailed near-critical
+        # conditions from swamping the critic's per-batch signal
+        # (BASELINE.md rec13 stall diagnosis). Tag features normalized to
+        # O(1) so contrast ~13 doesn't dominate the He-init first layer.
+        tc = np.asarray(dataset.tc).reshape(
+            dataset.num_samples, gen_cfg.n_stim, gen_cfg.n_probe)
+        if per_cond == "std":
+            denom = tc.std(axis=0)
+        else:
+            denom = np.abs(tc.mean(axis=0))
+        # Floor at 5% of the global TC magnitude: near-silent conditions
+        # (e.g. bandwidth 0) have ~zero mean AND ~zero variance, and an
+        # eps-only floor would amplify their pure noise by ~1e6 — the
+        # critic then rides that one degenerate feature to a runaway
+        # Wasserstein (observed: rec13d blow-up, W -> 1e5 by step 2k).
+        floor = 0.05 * float(np.abs(tc).mean())
+        sp_scale = 1.0 / np.maximum(denom, max(floor, 1e-6))  # (S, P)
+        feats = np.asarray(gen_cfg.condition_features())  # (S, 2)
+        tag_scale = 1.0 / np.maximum(np.abs(feats).max(axis=0), 1e-6)
+        cond_input_scale = tuple(
+            float(s) for s in np.concatenate([sp_scale.ravel(), tag_scale]))
+    elif getattr(args, "normalize_input", False):
+        tc = np.asarray(dataset.tc)
+        if getattr(args, "normalize_input_mode", "mean") == "std":
+            # Per-feature std scale with the same degeneracy floor as the
+            # per-condition path: near-silent features (bandwidth-0
+            # conditions) have ~zero std, and an eps-only floor would
+            # amplify pure noise (rec13d blow-up mechanism).
+            denom = tc.std(axis=0)
+            floor = 0.05 * float(np.abs(tc).mean())
+            scale = 1.0 / np.maximum(denom, max(floor, 1e-6))
+        else:
+            mean_tc = tc.mean(axis=0)
+            scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
+        if conditional:
+            # conditional critic sees (per-condition probe block, cond tag)
+            n_probe = gen_cfg.n_probe
+            probe_scale = scale.reshape(gen_cfg.n_stim, n_probe).mean(axis=0)
+            scale = np.concatenate([probe_scale, np.ones(2)])
+        input_scale = tuple(float(s) for s in scale)
+    return input_scale, cond_input_scale
+
+
+def contrast_cond_weight(args, conditional):
+    """Per-stimulus-condition loss weights from ``--contrast-weights``
+    (conditional runs), expanded across bandwidths in the battery's
+    contrast-major condition order and normalized to mean 1. None when
+    the flag is absent or the run is unconditional."""
+    import numpy as np
+
+    if not (conditional and getattr(args, "contrast_weights", None)):
+        return None
+    cw = np.asarray(args.contrast_weights, dtype=np.float64)
+    if cw.shape[0] != len(args.contrasts):
+        raise SystemExit(
+            f"--contrast-weights needs {len(args.contrasts)} values "
+            f"(one per --contrasts entry), got {cw.shape[0]}")
+    # battery order is contrast-major (ops/stimulus.py condition_features):
+    # expand each contrast weight across bandwidths
+    per_stim = np.repeat(cw, len(args.bandwidths))
+    per_stim = per_stim / per_stim.mean()
+    return tuple(float(w) for w in per_stim)
 
 
 def run_config_dests() -> set:

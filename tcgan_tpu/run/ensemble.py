@@ -264,33 +264,24 @@ def _run(args, gen_cfg, step_fn, model) -> int:
                     if conditional else gen_cfg)
     dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
-    # an explicit --normalize-input-mode implies --normalize-input, as in
-    # gan_common (and info.json then records what actually ran)
-    norm_mode = getattr(args, "normalize_input_mode", None)
-    if norm_mode is not None:
-        args.normalize_input = True
-    input_scale = None
-    if args.normalize_input:
-        # 'std' whitens with the same degeneracy floor as gan_common
-        tc = np.asarray(dataset.tc)
-        if norm_mode == "std":
-            denom = tc.std(axis=0)
-            floor = 0.05 * float(np.abs(tc).mean())
-            scale = 1.0 / np.maximum(denom, max(floor, 1e-6))
-        else:
-            scale = 1.0 / np.maximum(np.abs(tc.mean(axis=0)), 1e-6)
-        if conditional:
-            probe_scale = scale.reshape(gen_cfg.n_stim,
-                                        gen_cfg.n_probe).mean(axis=0)
-            scale = np.concatenate([probe_scale, np.ones(2)])
-        input_scale = tuple(float(s) for s in scale)
+    # same critic-input scaling and condition weighting as an
+    # identically-flagged single run (gan_common) — shared helpers
+    input_scale, cond_input_scale = common.critic_input_scales(
+        args, gen_cfg, dataset, conditional)
+    cond_weight = common.contrast_cond_weight(args, conditional)
 
     from tcgan_tpu.models import cwgan as cwgan_lib
 
     mk_cfg = cwgan_lib.CWGANConfig if conditional else wgan_lib.WGANConfig
+    extra_cfg = {}
+    if conditional:
+        extra_cfg = dict(cond_input_scale=cond_input_scale,
+                         cond_weight=cond_weight)
     cfg = mk_cfg(
         gen=gen_cfg,
         input_scale=input_scale,
+        critic_lr_decay_steps=getattr(args, "critic_lr_decay_steps", -1),
+        **extra_cfg,
         critic_layers=tuple(args.disc_layers),
         batch_size=args.batch_size,
         gp_lambda=args.gp_lambda,

@@ -22,12 +22,6 @@ def make_gan_parser(doc: str) -> argparse.ArgumentParser:
 def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     import dataclasses
 
-    # An explicit --normalize-input-mode implies --normalize-input (a mode
-    # without the switch would silently run unnormalized); normalize the
-    # args object up front so info.json records what actually ran.
-    if getattr(args, "normalize_input_mode", None) is not None:
-        args.normalize_input = True
-
     import jax
 
     from tcgan_tpu.models import cwgan as cwgan_lib
@@ -59,65 +53,9 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         data_gen_cfg = dataclasses.replace(gen_cfg, track_offset_identity=True)
     dataset = common.load_or_generate_dataset(args, data_gen_cfg)
 
-    import numpy as np
-
-    input_scale = None
-    cond_input_scale = None
-    norm_mode = getattr(args, "normalize_per_condition", None)
-    if conditional and norm_mode is not None:
-        # Per-(condition, probe) scale: keeps the heavy-tailed near-critical
-        # conditions from swamping the critic's per-batch signal
-        # (BASELINE.md rec13 stall diagnosis). Tag features normalized to
-        # O(1) so contrast ~13 doesn't dominate the He-init first layer.
-        tc = np.asarray(dataset.tc).reshape(
-            dataset.num_samples, gen_cfg.n_stim, gen_cfg.n_probe)
-        if norm_mode == "std":
-            denom = tc.std(axis=0)
-        else:
-            denom = np.abs(tc.mean(axis=0))
-        # Floor at 5% of the global TC magnitude: near-silent conditions
-        # (e.g. bandwidth 0) have ~zero mean AND ~zero variance, and an
-        # eps-only floor would amplify their pure noise by ~1e6 — the
-        # critic then rides that one degenerate feature to a runaway
-        # Wasserstein (observed: rec13d blow-up, W -> 1e5 by step 2k).
-        floor = 0.05 * float(np.abs(tc).mean())
-        sp_scale = 1.0 / np.maximum(denom, max(floor, 1e-6))  # (S, P)
-        feats = np.asarray(gen_cfg.condition_features())  # (S, 2)
-        tag_scale = 1.0 / np.maximum(np.abs(feats).max(axis=0), 1e-6)
-        cond_input_scale = tuple(
-            float(s) for s in np.concatenate([sp_scale.ravel(), tag_scale]))
-    elif getattr(args, "normalize_input", False):
-        tc = np.asarray(dataset.tc)
-        if getattr(args, "normalize_input_mode", "mean") == "std":
-            # Per-feature std scale with the same degeneracy floor as the
-            # per-condition path: near-silent features (bandwidth-0
-            # conditions) have ~zero std, and an eps-only floor would
-            # amplify pure noise (rec13d blow-up mechanism).
-            denom = tc.std(axis=0)
-            floor = 0.05 * float(np.abs(tc).mean())
-            scale = 1.0 / np.maximum(denom, max(floor, 1e-6))
-        else:
-            mean_tc = tc.mean(axis=0)
-            scale = 1.0 / np.maximum(np.abs(mean_tc), 1e-6)
-        if conditional:
-            # conditional critic sees (per-condition probe block, cond tag)
-            n_probe = gen_cfg.n_probe
-            probe_scale = scale.reshape(gen_cfg.n_stim, n_probe).mean(axis=0)
-            scale = np.concatenate([probe_scale, np.ones(2)])
-        input_scale = tuple(float(s) for s in scale)
-
-    cond_weight = None
-    if conditional and getattr(args, "contrast_weights", None):
-        cw = np.asarray(args.contrast_weights, dtype=np.float64)
-        if cw.shape[0] != len(args.contrasts):
-            raise SystemExit(
-                f"--contrast-weights needs {len(args.contrasts)} values "
-                f"(one per --contrasts entry), got {cw.shape[0]}")
-        # battery order is contrast-major (ops/stimulus.py
-        # condition_features): expand each contrast weight across bandwidths
-        per_stim = np.repeat(cw, len(args.bandwidths))
-        per_stim = per_stim / per_stim.mean()
-        cond_weight = tuple(float(w) for w in per_stim)
+    input_scale, cond_input_scale = common.critic_input_scales(
+        args, gen_cfg, dataset, conditional)
+    cond_weight = common.contrast_cond_weight(args, conditional)
 
     extra_cfg = {}
     if conditional:

@@ -236,3 +236,112 @@ def test_normalize_input_mode_implies_normalization():
     not_implied = (a_none.normalize_input
                    or a_none.normalize_input_mode is not None)
     assert implied and not not_implied
+
+
+def test_explicit_dests_matches_argparse_abbreviations():
+    """argparse allows unambiguous prefix abbreviations (--bandwidth for
+    --bandwidths), so explicit_dests must mark those dests explicit too —
+    otherwise eval's apply_run_config silently overwrites the user's typed
+    value with the run's recorded config. Ambiguous prefixes (--contrast
+    matches both --contrasts and --contrast-weights) are rejected by
+    argparse itself, so explicit_dests marks nothing for them."""
+    from tcgan_tpu.run import common
+    from tcgan_tpu.run.gan_common import make_gan_parser
+
+    p = make_gan_parser("x")
+    dests = common.explicit_dests(
+        p, ["--bandwidth", "0.25", "1.0", "--normalize-input"])
+    assert "bandwidths" in dests  # abbreviation resolved
+    assert "normalize_input" in dests  # exact match still works
+    assert "contrasts" not in dests
+    # ambiguous prefix: argparse would error; mark nothing rather than guess
+    dests = common.explicit_dests(p, ["--contrast", "5", "10"])
+    assert "contrasts" not in dests and "contrast_weights" not in dests
+    # '=' form
+    dests = common.explicit_dests(p, ["--batch-size=8"])
+    assert "batch_size" in dests
+
+
+def test_critic_input_scales_shared_helper():
+    """The scale helper shared by gan_common and run.ensemble: an explicit
+    mode implies normalization, per-condition scaling requires a
+    conditional run (SystemExit otherwise), and the conditional
+    per-condition path returns S*P + 2 scales (probe block + tag)."""
+    from types import SimpleNamespace
+
+    from tcgan_tpu.run import common
+
+    gen = _gen_cfg()
+    S, P = gen.n_stim, gen.n_probe
+    rng = np.random.RandomState(0)
+    ds = SimpleNamespace(tc=rng.rand(32, S * P) + 0.5, num_samples=32)
+
+    args = SimpleNamespace(normalize_input=False, normalize_input_mode="std",
+                           normalize_per_condition=None)
+    scale, cond_scale = common.critic_input_scales(args, gen, ds, False)
+    assert args.normalize_input is True  # mode implies the switch
+    assert scale is not None and len(scale) == S * P
+    assert cond_scale is None
+
+    args = SimpleNamespace(normalize_input=False, normalize_input_mode=None,
+                           normalize_per_condition="std")
+    with pytest.raises(SystemExit):
+        common.critic_input_scales(args, gen, ds, False)  # unconditional
+
+    scale, cond_scale = common.critic_input_scales(args, gen, ds, True)
+    assert scale is None
+    assert cond_scale is not None and len(cond_scale) == S * P + 2
+
+
+def test_anchor_loss_zero_survivor_holds_ema():
+    """A batch where not even one solve converged must NOT blend its
+    all-zero 'moments' into the anchor EMA (it is not an estimate); the
+    EMA holds and resumes blending when survivors return."""
+    from types import SimpleNamespace
+
+    from tcgan_tpu.models.moments import data_moments
+
+    cfg = wgan_lib.WGANConfig(gen=_gen_cfg())
+    B, S, F = 4, cfg.gen.n_stim, 6
+    rng = np.random.RandomState(1)
+    tc = jnp.asarray(rng.rand(B, F), jnp.float32)
+    dm, dsec = data_moments(jnp.asarray(rng.rand(32, F), jnp.float32))
+    em = jnp.full_like(dm, 0.5)
+    esec = jnp.full_like(dsec, 0.25)
+    state = SimpleNamespace(step=jnp.asarray(10, jnp.int32),
+                            data_mean=dm, data_second=dsec,
+                            mom_ema_mean=em, mom_ema_second=esec)
+
+    out_dead = SimpleNamespace(tc=tc, converged=jnp.zeros((B, S), bool))
+    _, em_d, esec_d = wgan_lib.anchor_loss(cfg, state, out_dead)
+    np.testing.assert_allclose(np.asarray(em_d), np.asarray(em))
+    np.testing.assert_allclose(np.asarray(esec_d), np.asarray(esec))
+
+    out_ok = SimpleNamespace(tc=tc, converged=jnp.ones((B, S), bool))
+    _, em_o, _ = wgan_lib.anchor_loss(cfg, state, out_ok)
+    assert not np.allclose(np.asarray(em_o), np.asarray(em))
+
+
+def test_ensemble_view_handles_mm_columns(tmp_path):
+    """ensemble_view must render moment-matching ensembles (loss/mean_err
+    columns), not just the WGAN column set (was: KeyError 'd_loss')."""
+    import csv as csv_mod
+
+    from tcgan_tpu.analysis import ensemble_view
+    from tcgan_tpu.analysis.loaders import load_ensemble
+
+    cols = (["step", "member", "loss", "mean_err", "cov_err",
+             "rate_penalty", "frac_converged", "frac_diverged", "train_time"]
+            + [f"{blk}_{a}{b}" for blk in ("J", "D", "S")
+               for a in "EI" for b in "EI"])
+    with open(tmp_path / "ensemble.csv", "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(cols)
+        for m in range(2):
+            for step in (0, 1, 2):
+                w.writerow([step, m, 1.0 / (step + 1), 0.1, 0.2, 0.0,
+                            1.0, 0.0, 0.01] + [0.05] * 12)
+    rec = load_ensemble(tmp_path)
+    summary = ensemble_view.plot_ensemble(rec, str(tmp_path / "e.png"))
+    assert summary["n_members"] == 2
+    assert (tmp_path / "e.png").exists()
