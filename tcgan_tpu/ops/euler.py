@@ -71,34 +71,45 @@ def solve_dynamics(
 
     r_ceiling = clip_factor * cfg.rate_stop_at
 
-    def step(r, _):
+    # Divergence is flagged on FIRST exceedance of rate_stop_at (carried
+    # through the scan), matching the fixed-point and C solvers — a
+    # final-state-only check would report a transiently-exceeding sample
+    # as converged even though its trajectory was distorted by the
+    # r_ceiling clip, making sample acceptance solver-dependent exactly
+    # for the near-critical samples the rejection machinery exists for.
+    div0 = jnp.zeros(lead + (S,), dtype=bool)
+
+    def step(carry, _):
+        r, div = carry
         u = recurrent_drive(W, r, I_ext)
         r_next = r + dt_over_tau * (-r + f(u))
+        div = div | (jnp.max(lax.stop_gradient(r_next), axis=-1)
+                     > cfg.rate_stop_at)
         r_next = jnp.minimum(r_next, r_ceiling)
-        return r_next, (r_next if return_trajectory else None)
+        return (r_next, div), (r_next if return_trajectory else None)
 
     if checkpoint_chunk and not return_trajectory:
         if seqlen % checkpoint_chunk:
             raise ValueError("checkpoint_chunk must divide seqlen")
 
         @jax.checkpoint
-        def chunk(r, _):
-            r, _ = lax.scan(step, r, None, length=checkpoint_chunk)
-            return r, None
+        def chunk(carry, _):
+            carry, _ = lax.scan(step, carry, None, length=checkpoint_chunk)
+            return carry, None
 
-        r_T, _ = lax.scan(chunk, r0, None, length=seqlen // checkpoint_chunk)
+        (r_T, diverged), _ = lax.scan(chunk, (r0, div0), None,
+                                      length=seqlen // checkpoint_chunk)
         traj = None
     else:
-        r_T, traj = lax.scan(step, r0, None, length=seqlen)
+        (r_T, diverged), traj = lax.scan(step, (r0, div0), None,
+                                         length=seqlen)
 
-    # Convergence/divergence diagnostics on the final state (outside the
-    # gradient path).
+    # Convergence diagnostics on the final state (outside the gradient
+    # path).
     rT = lax.stop_gradient(r_T)
     u = recurrent_drive(lax.stop_gradient(W), rT, lax.stop_gradient(I_ext))
     delta = -rT + f(u)
     err = jnp.max(jnp.abs(delta), axis=-1)
-    peak = jnp.max(rT, axis=-1)
-    diverged = peak > cfg.rate_stop_at
     converged = ~diverged & (err < cfg.atol)
     iters = jnp.full(lead + (S,), seqlen, dtype=jnp.int32)
     res = FixedPointResult(r_T, converged, diverged, iters)

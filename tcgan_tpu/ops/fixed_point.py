@@ -55,6 +55,12 @@ def solve_any(cfg: SSNConfig, W: jnp.ndarray, I_ext: jnp.ndarray
     Uses the fused Pallas kernel when ``cfg.backend == "pallas"`` and the
     layout matches its contract (one batch dim, shared stimulus battery);
     otherwise the plain-XLA while_loop path.
+
+    Dtype contract: the Pallas path computes and returns float32 rates
+    regardless of input dtype (the kernel is f32-resident by design —
+    TPU VMEM/MXU); the XLA path preserves ``W.dtype``. Cross-backend
+    f64 parity checks must therefore compare through the XLA or native
+    solver, not the kernel.
     """
     if cfg.backend == "pallas" and W.ndim == 3 and I_ext.ndim == 2:
         import jax
@@ -185,7 +191,11 @@ def solve_fixed_point(
             r=jnp.where(active[..., None], r_next, s.r),
             converged=s.converged | newly_conv,
             diverged=s.diverged | newly_div,
-            iters=jnp.where(resolved_now, it_next, s.iters),
+            # clamp: the final chunk may overshoot max_iter by up to
+            # check_every-1 substeps; recorded iters must never exceed
+            # the budget or "iters == max_iter" stops meaning unresolved
+            iters=jnp.where(resolved_now,
+                            jnp.minimum(it_next, cfg.max_iter), s.iters),
             it=it_next,
             r_in_prev=s.r if anderson else s.r_in_prev,
             f_prev=f_cur if anderson else s.f_prev,

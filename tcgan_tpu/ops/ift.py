@@ -80,9 +80,21 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
     u = recurrent_drive(W, r_star, I_ext)
     phi = fprime(u)  # (..., S, 2N)
 
-    # Zero cotangents of unresolved/diverged samples.
+    # Zero cotangents of unresolved/diverged samples — and zero their phi
+    # too, so excluded samples are inert in EVERY adjoint method: the
+    # direct method's linear system becomes the identity (a clipped
+    # diverged sample's phi would otherwise make A singular/near-singular
+    # and the LU solve emit inf/NaN, which `lam * ok` cannot remove since
+    # NaN * 0 = NaN), and the iterative method's adjoint map becomes a
+    # pure decay (an unstable excluded sample would otherwise blow up the
+    # GLOBAL residual norm, either wasting the whole bwd_max_iter budget
+    # or poisoning it with inf - inf = NaN, whose comparison exits the
+    # loop with NaN lam for the entire batch).
     ok = converged[..., None].astype(g.dtype)
-    g = g * ok
+    # where, not multiply: a clipped/overflowed excluded sample can carry
+    # NaN in g or phi already, and NaN * 0 = NaN
+    g = jnp.where(ok > 0, g, jnp.zeros_like(g))
+    phi = jnp.where(ok > 0, phi, jnp.zeros_like(phi))
 
     if grad_method == "jfb":
         lam = g
@@ -95,7 +107,10 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
         lam = jnp.linalg.solve(
             jnp.swapaxes(A, -1, -2), g[..., None]
         )[..., 0]
-        lam = lam * ok
+        # ok-masked phi made excluded rows' system the identity; the
+        # where (not *) keeps any residual non-finite solve output from
+        # leaking through (NaN * 0 = NaN).
+        lam = jnp.where(ok > 0, lam, jnp.zeros_like(lam))
     elif grad_method == "iterative":
         # Damped Richardson on the adjoint: lam <- lam + a*(-lam + J^T lam + g)
         # with J^T lam = W^T (phi ⊙ lam); a = dt/tau (same damping as forward).
@@ -118,14 +133,22 @@ def _bwd(cfg, grad_method, bwd_max_iter, bwd_atol, residuals, cot):
         lam, _, _ = lax.while_loop(
             cond, body, (g, jnp.array(jnp.inf, W.dtype), jnp.array(0, jnp.int32))
         )
-        lam = lam * ok
+        # If a trusted sample's adjoint nonetheless fails to contract
+        # within bwd_max_iter, lam is approximate (there is no backward
+        # converged-flag channel); a non-finite lam is left in place so
+        # the optimizer-level apply_if_finite guard skips the step
+        # visibly rather than training on silently-zeroed gradients.
+        lam = jnp.where(ok > 0, lam, jnp.zeros_like(lam))
     else:
         raise ValueError(f"grad_method must be one of {GRAD_METHODS}")
 
     # Pull λ back through F(r, W, I) = f(W r + I) w.r.t. (W, I) at fixed r*.
     # d/dW: W̄_ij = sum_s phi_si * lam_si * r*_sj ; d/dI: Ī = phi ⊙ λ.
+    # r* is where-masked too: an excluded sample can carry NaN rates, and
+    # 0 * NaN = NaN would re-poison the einsum even with philam zeroed.
     philam = phi * lam
-    W_bar = jnp.einsum("...si,...sj->...ij", philam, r_star,
+    r_ok = jnp.where(ok > 0, r_star, jnp.zeros_like(r_star))
+    W_bar = jnp.einsum("...si,...sj->...ij", philam, r_ok,
                        precision=jax.lax.Precision.HIGHEST)
     I_bar = _unbroadcast(philam, I_ext.shape)
     W_bar = _unbroadcast(W_bar, W.shape)

@@ -109,6 +109,28 @@ def solve_fixed_point_native(
         I_ext = np.broadcast_to(I_ext[None], (W.shape[0],) + I_ext.shape).copy()
     batch, n2 = W.shape[0], W.shape[-1]
     n_stim = I_ext.shape[-2]
+    # The C solver indexes raw pointers — validate every batch/size
+    # relation here (a 3-D I_ext with a mismatched batch dim, or an
+    # I_ext/W width mismatch, would read past the end of the buffer
+    # inside C with no error). Size-1 batch dims broadcast like JAX.
+    if W.ndim != 3 or W.shape[-2] != n2:
+        raise ValueError(f"W must be (batch, 2N, 2N); got {W.shape}")
+    if I_ext.shape[-1] != n2:
+        raise ValueError(
+            f"I_ext width {I_ext.shape[-1]} != W width {n2}")
+    if I_ext.ndim != 3:
+        raise ValueError(f"I_ext must be (batch, n_stim, 2N) or "
+                         f"(n_stim, 2N); got {I_ext.shape}")
+    if I_ext.shape[0] != batch:
+        if I_ext.shape[0] == 1:
+            I_ext = np.broadcast_to(I_ext, (batch, n_stim, n2)).copy()
+        elif batch == 1 and I_ext.shape[0] > 1:
+            batch = I_ext.shape[0]
+            W = np.broadcast_to(W, (batch, n2, n2)).copy()
+        else:
+            raise ValueError(
+                f"batch mismatch: W has {batch}, I_ext has "
+                f"{I_ext.shape[0]}")
     r = (np.zeros((batch, n_stim, n2)) if r0 is None
          else np.ascontiguousarray(np.broadcast_to(r0, (batch, n_stim, n2)),
                                    dtype=np.float64).copy())

@@ -224,8 +224,12 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                 r=r,
                 conv=s.conv + newly_conv,
                 div=s.div + newly_div,
+                # clamp: the final chunk may overshoot max_it by up to
+                # check_every-1 substeps; recorded iters must never
+                # exceed the budget (iters == max_iter means unresolved)
                 iters=s.iters + resolved * (
-                    it_next.astype(jnp.float32) - s.iters
+                    jnp.minimum(it_next, max_it).astype(jnp.float32)
+                    - s.iters
                 ),
                 nhist=s.nhist + 1.0,
                 r_in_prev=r_in_prev,
@@ -271,8 +275,12 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                 r=r,
                 conv=s.conv + newly_conv,
                 div=s.div + newly_div,
+                # clamp: the final chunk may overshoot max_it by up to
+                # check_every-1 substeps; recorded iters must never
+                # exceed the budget (iters == max_iter means unresolved)
                 iters=s.iters + resolved * (
-                    it_next.astype(jnp.float32) - s.iters
+                    jnp.minimum(it_next, max_it).astype(jnp.float32)
+                    - s.iters
                 ),
                 nhist=s.nhist + 1.0,
                 r_in_prev=r_in_prev,
@@ -308,12 +316,22 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         cond1, body1 = make_loop(substep_fast, coarse, cfg.max_iter // 2)
         mid = jax.lax.while_loop(cond1, body1, init)
         # Phase 2: HIGHEST-precision tail from the phase-1 state; reopen
-        # the coarse-converged rows (keep genuinely diverged ones closed).
+        # the coarse-converged rows AND the diverged ones. A phase-1
+        # divergence flag is a fast-pass (bf16-pass) measurement: near the
+        # ceiling its ~0.4% matmul noise is amplified ~n-fold through
+        # f(u)=k*u^n, so a true-peak ~199 Hz sample can falsely read
+        # >rate_stop_at — and a permanent flag would systematically
+        # reject valid near-critical circuits (the regime this project
+        # trains in) where the HIGHEST-precision XLA reference converges
+        # them. Reopened truly-divergent rows re-flag themselves within a
+        # chunk or two (their r is at/above the ceiling, the dynamics
+        # re-diverge immediately); falsely-flagged rows relax back and
+        # converge. Flag parity with the XLA path is decided only by
+        # full-precision arithmetic.
         init2 = S(it=mid.it, r=mid.r,
-                  conv=jnp.zeros_like(mid.conv), div=mid.div,
-                  # keep phase-1 iteration counts for diverged rows
-                  iters=mid.div * mid.iters
-                  + (1.0 - mid.div) * float(cfg.max_iter),
+                  conv=jnp.zeros_like(mid.conv),
+                  div=jnp.zeros_like(mid.div),
+                  iters=jnp.full_like(mid.iters, float(cfg.max_iter)),
                   # Anderson history does NOT carry across the phase
                   # boundary: phase 2's chunk map differs (precision /
                   # refine form), so the phase-1 secant would mislead the

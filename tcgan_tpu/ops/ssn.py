@@ -103,6 +103,14 @@ class SSNConfig:
     def __post_init__(self):
         if self.io_type not in io_funs.IO_TYPES:
             raise ValueError(f"io_type must be one of {io_funs.IO_TYPES}")
+        # init/accel are compared by string downstream; a typo would
+        # silently fall back to zero-init / plain iteration
+        if self.init not in ("zero", "feedforward"):
+            raise ValueError("init must be 'zero' or 'feedforward'; "
+                             f"got {self.init!r}")
+        if self.accel not in ("none", "anderson"):
+            raise ValueError("accel must be 'none' or 'anderson'; "
+                             f"got {self.accel!r}")
 
     @property
     def num_neurons(self) -> int:
@@ -162,16 +170,3 @@ def recurrent_drive(W: jnp.ndarray, r: jnp.ndarray, I_ext: jnp.ndarray) -> jnp.n
                       precision=jax.lax.Precision.HIGHEST) + I_ext
 
 
-def euler_step(cfg: SSNConfig, W, I_ext, r, dt_over_tau=None):
-    """One forward-Euler step; returns (r_next, drdt_scaled).
-
-    ``drdt_scaled = -r + f(u)`` (the step direction before dt/tau scaling) is
-    returned so callers can form the convergence criterion without
-    recomputing f.
-    """
-    if dt_over_tau is None:
-        dt_over_tau = cfg.step_gain(dtype=r.dtype)
-    f = cfg.io_fun()
-    u = recurrent_drive(W, r, I_ext)
-    delta = -r + f(u)
-    return r + dt_over_tau * delta, delta

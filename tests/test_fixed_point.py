@@ -228,3 +228,52 @@ def test_anderson_preserves_ift_gradients_and_saturating_io():
             ift.solve_fixed_point_implicit(cfg_aa, w, I).r**2))(W)
         np.testing.assert_allclose(np.asarray(g_aa), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-8)
+
+
+def test_euler_transient_exceedance_flags_divergence():
+    """BPTT/Euler divergence is decided on FIRST exceedance of
+    rate_stop_at (like the fixed-point and C solvers), not on the final
+    state: a trajectory that starts above the ceiling and relaxes below
+    it was clip-distorted and must be flagged diverged, or sample
+    acceptance becomes solver-dependent."""
+    cfg = _small_cfg(n=2.0, k=0.05, rate_stop_at=50.0, seqlen=4000)
+    n2 = cfg.num_neurons
+    W = jnp.zeros((n2, n2), jnp.float64)  # pure decay toward f(I)
+    I = 5.0 * jnp.ones((1, n2), jnp.float64)
+    r0 = jnp.full((1, n2), 80.0, jnp.float64)  # starts ABOVE the ceiling
+    res = euler.solve_dynamics(cfg, W, I, r0=r0)
+    # final state is small (decayed well below the ceiling)...
+    assert float(res.r.max()) < cfg.rate_stop_at
+    # ...but the trajectory exceeded it: diverged, not converged
+    assert bool(res.diverged.all())
+    assert not bool(res.converged.any())
+    # control: the same problem from r0=0 never exceeds and converges
+    res2 = euler.solve_dynamics(cfg, W, I)
+    assert bool(res2.converged.all()) and not bool(res2.diverged.any())
+
+
+def test_recorded_iters_never_exceed_max_iter():
+    """When check_every does not divide max_iter the final chunk may run
+    past the budget; recorded iters must be clamped so that
+    'iters >= max_iter' keeps meaning unresolved."""
+    cfg = _small_cfg()
+    W, I = _random_problem(cfg)
+    ref = fixed_point.solve_fixed_point(cfg, W, I, check_every=1)
+    assert bool(ref.converged.all())
+    n0 = int(np.asarray(ref.iters).max())
+    # budget one below the needed count, chunk size 7: the solver resolves
+    # inside the overshooting final chunk
+    cfg2 = _small_cfg(max_iter=n0 - 1)
+    out = fixed_point.solve_fixed_point(cfg2, W, I, check_every=7)
+    assert int(np.asarray(out.iters).max()) <= cfg2.max_iter
+    assert bool(out.converged.any())  # resolved in the overshoot window
+
+
+def test_ssn_config_validates_accel_and_init():
+    """accel/init are compared by string downstream; typos must raise
+    instead of silently falling back to plain iteration / zero init."""
+    with pytest.raises(ValueError):
+        SSNConfig(N=4, accel="andersen")
+    with pytest.raises(ValueError):
+        SSNConfig(N=4, init="feedfoward")
+    SSNConfig(N=4, accel="anderson", init="feedforward")  # valid spellings

@@ -197,3 +197,29 @@ def test_equal_rank_size1_broadcast_cotangent():
     g0 = jax.grad(lambda I_in: loss(I_in[None]))(I)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0),
                                rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("grad_method", ["direct", "iterative", "jfb"])
+def test_excluded_sample_nan_cannot_poison_backward(grad_method):
+    """An excluded (non-converged) sample carrying NaN rates or cotangents
+    must be inert in EVERY adjoint method: its phi/g are where-masked to
+    zero (NaN * 0 = NaN, so multiplication is not enough), the direct
+    method's system row becomes the identity, and the iterative method's
+    global residual norm never sees the excluded sample's dynamics."""
+    from types import SimpleNamespace
+
+    x, z, I = _setup()
+    W = weights.build_weight(J0.astype(jnp.float64), D0.astype(jnp.float64),
+                             S0.astype(jnp.float64), z, x)
+    res = ift.solve_fixed_point_implicit(CFG, W, I)
+    assert bool(res.converged.all())
+    r_star = res.r.at[0].set(jnp.nan)  # sample 0: poisoned AND excluded
+    converged = res.converged.at[0].set(False)
+    g = jnp.ones_like(res.r).at[0].set(jnp.inf)
+    cot = SimpleNamespace(r=g)
+    W_bar, I_bar = ift._bwd(CFG, grad_method, 2000, 1e-10,
+                            (W, I, r_star, converged), cot)
+    assert np.all(np.isfinite(np.asarray(W_bar)))
+    assert np.all(np.isfinite(np.asarray(I_bar)))
+    # the included sample still produces signal
+    assert float(jnp.max(jnp.abs(W_bar[1]))) > 0

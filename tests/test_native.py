@@ -47,3 +47,19 @@ def test_native_flags_divergence():
 
 def test_native_threads_reported():
     assert native.num_threads() >= 1
+
+
+def test_native_rejects_mismatched_shapes():
+    """The C solver indexes raw pointers; the wrapper must reject every
+    batch/size mismatch (a 3-D I_ext with the wrong batch dim would read
+    out of bounds inside C)."""
+    cfg = SSNConfig(N=4, max_iter=100, atol=1e-4)
+    n2 = cfg.num_neurons
+    W = np.zeros((3, n2, n2))
+    with pytest.raises(ValueError):
+        native.solve_fixed_point_native(cfg, W, np.zeros((2, 2, n2)))
+    with pytest.raises(ValueError):
+        native.solve_fixed_point_native(cfg, W, np.zeros((3, 2, n2 + 2)))
+    # size-1 batch dims broadcast like JAX
+    res = native.solve_fixed_point_native(cfg, W, np.zeros((1, 2, n2)))
+    assert res.r.shape == (3, 2, n2)
