@@ -194,27 +194,11 @@ def gen_loss_fn(cfg: CWGANConfig, gen_params, critic_params, key):
     return (-_wmean(d_fake, w) + cfg.rate_cost * pen, stats)
 
 
-def init_state(cfg: CWGANConfig, key: jax.Array | None = None,
-               gen_init: Dict[str, jnp.ndarray] | None = None,
-               data_moments=None) -> TrainState:
-    from tcgan_tpu.models.wgan import anchor_buffers, make_optimizers
-
-    if key is None:
-        key = jax.random.PRNGKey(cfg.seed)
-    kc, _ = jax.random.split(key)
-    gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-    critic_params = critic_lib.init_params(cfg.critic_cfg, kc)
-    gen_tx, critic_tx = make_optimizers(cfg)
-    return TrainState(
-        gen_params=gen_params,
-        gen_opt=gen_tx.init(gen_params),
-        critic_params=critic_params,
-        critic_opt=critic_tx.init(critic_params),
-        step=jnp.zeros((), jnp.int32),
-        ema_params=(jax.tree.map(jnp.copy, gen_params)
-                    if cfg.ema_decay > 0 else None),
-        **anchor_buffers(cfg, data_moments, gen_params),
-    )
+# Same state contract and init as the unconditional WGAN: the body only
+# touches cfg through the polymorphic critic_cfg/gen properties, so share
+# the implementation outright instead of hand-mirroring it (the mirror
+# already had to be patched in lockstep once, for the anchor buffers).
+from tcgan_tpu.models.wgan import init_state  # noqa: E402,F401
 
 
 def train_step_impl(

@@ -47,24 +47,38 @@ def init_ensemble(
     def init_one(k):
         kj, kc = jax.random.split(k)
         gp = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-        if start_jitter > 0.0:
-            leaves, treedef = jax.tree.flatten(gp)
-            ks = jax.random.split(kj, len(leaves))
-            leaves = [
-                p + start_jitter * jax.random.normal(kk, p.shape, p.dtype)
-                for p, kk in zip(leaves, ks)
-            ]
-            gp = jax.tree.unflatten(treedef, leaves)
-        return model.init_state(cfg, key=kc, gen_init=gp)
+        return model.init_state(cfg, key=kc,
+                                gen_init=_jitter(kj, gp, start_jitter))
 
     states = jax.vmap(init_one)(k_members)
-    if start_jitter > 0.0:
-        # member 0 keeps the exact requested start
-        base = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-        gp0 = jax.tree.map(
-            lambda stacked, b: stacked.at[0].set(b), states.gen_params, base
-        )
-        states = states._replace(gen_params=gp0)
+    return _reset_member0(cfg, states, gen_init, start_jitter)
+
+
+def _jitter(key, gp, start_jitter):
+    """Log-space N(0, jitter^2) noise on every parameter leaf."""
+    if start_jitter <= 0.0:
+        return gp
+    leaves, treedef = jax.tree.flatten(gp)
+    ks = jax.random.split(key, len(leaves))
+    leaves = [p + start_jitter * jax.random.normal(kk, p.shape, p.dtype)
+              for p, kk in zip(leaves, ks)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _reset_member0(cfg, states, gen_init, start_jitter):
+    """Member 0 keeps the exact requested start — including its
+    parameter-EMA buffer, which init_state seeds FROM the jittered
+    params (a stale jittered EMA would bias member 0's reported EMA
+    estimate for ~1/(1-decay) steps)."""
+    if start_jitter <= 0.0:
+        return states
+    base = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
+    set0 = lambda stacked, b: stacked.at[0].set(b)
+    states = states._replace(
+        gen_params=jax.tree.map(set0, states.gen_params, base))
+    if getattr(states, "ema_params", None) is not None:
+        states = states._replace(
+            ema_params=jax.tree.map(set0, states.ema_params, base))
     return states
 
 
@@ -106,25 +120,16 @@ def init_mm_ensemble(
     k_members = jax.random.split(key, n_members)
 
     def init_one(k):
+        kj, kz = jax.random.split(k)
         gp = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-        if start_jitter > 0.0:
-            leaves, treedef = jax.tree.flatten(gp)
-            ks = jax.random.split(k, len(leaves))
-            leaves = [
-                p + start_jitter * jax.random.normal(kk, p.shape, p.dtype)
-                for p, kk in zip(leaves, ks)
-            ]
-            gp = jax.tree.unflatten(treedef, leaves)
-        return mm_lib.init_state(cfg, gen_init=gp)
+        # per-member z_key: each member's fixed_z CRN set must be
+        # independent, or the z-set's Monte-Carlo error becomes a shared
+        # bias invisible to the member-to-member spread
+        return mm_lib.init_state(cfg, gen_init=_jitter(kj, gp, start_jitter),
+                                 z_key=kz)
 
     states = jax.vmap(init_one)(k_members)
-    if start_jitter > 0.0:
-        base = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
-        gp0 = jax.tree.map(
-            lambda stacked, b: stacked.at[0].set(b), states.gen_params, base
-        )
-        states = states._replace(gen_params=gp0)
-    return states
+    return _reset_member0(cfg, states, gen_init, start_jitter)
 
 
 def make_mm_ensemble_step_impl(impl=None):

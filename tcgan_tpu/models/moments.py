@@ -71,9 +71,17 @@ class MMState(NamedTuple):
     opt: Any
     step: jnp.ndarray
     # EMA of generated (mean, second) moments when cfg.moment_ema > 0;
-    # None otherwise.
+    # None otherwise. ema_count tracks how many batches actually blended
+    # in (zero-survivor batches hold the EMA), so the debias factor
+    # matches the accumulated mass even across divergence episodes.
     ema_mean: Any = None
     ema_second: Any = None
+    ema_count: Any = None
+    # Per-state CRN key for cfg.fixed_z: ensemble members must each carry
+    # their OWN fixed z-set (a shared PRNGKey(cfg.seed) would make the
+    # z-set's Monte-Carlo error a common bias invisible to the
+    # member-to-member spread the ensemble analysis measures).
+    z_key: Any = None
 
 
 class MMMetrics(NamedTuple):
@@ -95,10 +103,33 @@ def data_moments(tc: jnp.ndarray,
         second = tc.T @ tc / tc.shape[0]
         return mean, second
     w = weights.astype(tc.dtype)
-    n = jnp.maximum(w.sum(), 1.0)
+    # epsilon floor, NOT 1.0: soft survivor weights (the absorbing-state
+    # fallback) can legitimately sum below 1, and a 1.0 clamp would bias
+    # the weighted moments low by exactly w.sum(). The all-zero case
+    # (moments -> 0) must be guarded by the caller (it is not an
+    # estimate); see the EMA has_data holds here and in wgan.anchor_loss.
+    n = jnp.maximum(w.sum(), 1e-6)
     mean = (tc * w[:, None]).sum(axis=0) / n
     second = (tc * w[:, None]).T @ tc / n
     return mean, second
+
+
+def survivor_chain(conv: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Per-circuit survivor weights with an absorbing-state fallback.
+
+    Primary: the strict all-conditions mask matching the fake-truth
+    dataset's survivor selection (data/datasets.py). Fallback: when NO
+    circuit in the batch fully converged — an all-zero mask would delete
+    the entire gradient, freezing a deterministic (fixed_z) objective
+    permanently — use the SOFT weight (fraction of converged conditions
+    per circuit) so mostly-converged circuits keep pulling the generator
+    back toward the convergent region; once any circuit fully converges
+    again the strict semantics resume. Shared by the WGAN family
+    (rejection masks, anchor) and the moment matcher."""
+    convf = jax.lax.stop_gradient(conv).astype(dtype)  # (B, S)
+    strict = jnp.min(convf, axis=-1)  # (B,)
+    soft = jnp.mean(convf, axis=-1)  # (B,)
+    return jnp.where(jnp.sum(strict) > 0.0, strict, soft)
 
 
 def sample_mask(cfg: MomentMatchingConfig, out) -> jnp.ndarray:
@@ -113,8 +144,7 @@ def sample_mask(cfg: MomentMatchingConfig, out) -> jnp.ndarray:
     bookkeeping -> stop_gradient."""
     import jax
 
-    conv = jax.lax.stop_gradient(out.converged)  # (B, S) bool
-    ok = jnp.min(conv.astype(jnp.float32), axis=-1)  # (B,)
+    ok = survivor_chain(out.converged, jnp.float32)  # (B,)
     if cfg.gen.track_offset_identity:
         return ok
     return jnp.repeat(ok, cfg.gen.n_probe)
@@ -138,7 +168,10 @@ def make_optimizer(cfg: MomentMatchingConfig):
 
 
 def init_state(cfg: MomentMatchingConfig,
-               gen_init: Dict[str, jnp.ndarray] | None = None) -> MMState:
+               gen_init: Dict[str, jnp.ndarray] | None = None,
+               z_key: jax.Array | None = None) -> MMState:
+    """z_key: the CRN key used when cfg.fixed_z (defaults to
+    PRNGKey(cfg.seed)); ensemble init passes a distinct key per member."""
     gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
     d = cfg.gen.tc_dim
     dtype = cfg.gen.dtype
@@ -147,6 +180,9 @@ def init_state(cfg: MomentMatchingConfig,
         jnp.zeros((), jnp.int32),
         ema_mean=jnp.zeros((d,), dtype) if cfg.moment_ema > 0 else None,
         ema_second=jnp.zeros((d, d), dtype) if cfg.moment_ema > 0 else None,
+        ema_count=jnp.zeros((), dtype) if cfg.moment_ema > 0 else None,
+        z_key=(z_key if z_key is not None
+               else jax.random.PRNGKey(cfg.seed)),
     )
 
 
@@ -159,7 +195,11 @@ def train_step_impl(
 ) -> Tuple[MMState, MMMetrics]:
     tx = make_optimizer(cfg)
     if cfg.fixed_z:
-        k = jax.random.PRNGKey(cfg.seed)  # constant across steps (CRN)
+        # constant across steps (CRN), per-STATE so vmapped ensemble
+        # members each optimize their own fixed z-set (the None fallback
+        # keeps pre-z_key checkpoints restorable)
+        k = (state.z_key if state.z_key is not None
+             else jax.random.PRNGKey(cfg.seed))
     else:
         k = jax.random.fold_in(key, state.step)
 
@@ -170,22 +210,34 @@ def train_step_impl(
             # Moment averaging (see config docstring): blend the batch
             # moments into the running EMA (stop-gradient on the history,
             # debiased like Adam), and penalize the EMA-vs-data residual.
+            # Zero-survivor guard: a batch with no survivors yields
+            # all-zero "moments" — not an estimate — so the EMA holds and
+            # the update counter does not advance (debias then matches
+            # the mass actually accumulated, even across divergence
+            # episodes).
             g = cfg.moment_ema
+            sg = jax.lax.stop_gradient
             bmean, bsecond = data_moments(out.tc, w)
-            new_em = g * jax.lax.stop_gradient(state.ema_mean) + (1 - g) * bmean
-            new_es = (g * jax.lax.stop_gradient(state.ema_second)
-                      + (1 - g) * bsecond)
-            debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
+            has_data = (jnp.sum(w) > 0 if w is not None
+                        else jnp.asarray(True))
+            new_em = jnp.where(has_data,
+                               g * sg(state.ema_mean) + (1 - g) * bmean,
+                               sg(state.ema_mean))
+            new_es = jnp.where(has_data,
+                               g * sg(state.ema_second) + (1 - g) * bsecond,
+                               sg(state.ema_second))
+            new_count = state.ema_count + has_data.astype(bmean.dtype)
+            debias = jnp.maximum(1.0 - g ** new_count, 1e-12)
             wm = 1.0 / (jnp.abs(data_mean) + cfg.moment_eps) ** 2
             wc = 1.0 / (jnp.abs(data_second) + cfg.moment_eps) ** 2
             me = jnp.mean(wm * (new_em / debias - data_mean) ** 2)
             ce = jnp.mean(wc * (new_es / debias - data_second) ** 2)
             mloss = cfg.mean_weight * me + cfg.cov_weight * ce
-            ema_out = (new_em, new_es)
+            ema_out = (new_em, new_es, new_count)
         else:
             mloss, (me, ce) = moment_loss(cfg, out.tc, data_mean,
                                           data_second, weights=w)
-            ema_out = (None, None)
+            ema_out = (None, None, None)
         pen = gen_lib.rate_penalty(cfg.gen, out.rates)
         stats = (
             me, ce, pen,
@@ -205,7 +257,10 @@ def train_step_impl(
                 ema_mean=(jax.lax.stop_gradient(ema_out[0])
                           if cfg.moment_ema > 0 else None),
                 ema_second=(jax.lax.stop_gradient(ema_out[1])
-                            if cfg.moment_ema > 0 else None)),
+                            if cfg.moment_ema > 0 else None),
+                ema_count=(jax.lax.stop_gradient(ema_out[2])
+                           if cfg.moment_ema > 0 else None),
+                z_key=state.z_key),
         MMMetrics(loss, me, ce, pen, fconv, fdiv),
     )
 

@@ -126,6 +126,9 @@ class TrainState(NamedTuple):
     data_second: Any = None
     mom_ema_mean: Any = None
     mom_ema_second: Any = None
+    # batches actually blended into the EMA (zero-survivor batches hold
+    # it), so the debias factor matches the accumulated mass
+    mom_ema_count: Any = None
     anchor_opt: Any = None
 
 
@@ -207,6 +210,7 @@ def anchor_buffers(cfg, data_moments, gen_params) -> dict:
         data_second=jnp.asarray(ds, dtype),
         mom_ema_mean=jnp.zeros(jnp.shape(dm), dtype),
         mom_ema_second=jnp.zeros(jnp.shape(ds), dtype),
+        mom_ema_count=jnp.zeros((), dtype),
         anchor_opt=make_anchor_optimizer(cfg).init(gen_params),
     )
 
@@ -246,24 +250,12 @@ def gradient_penalty(cfg: WGANConfig, critic_params, real, fake, key):
     return jnp.mean((norms - 1.0) ** 2)
 
 
-def _survivor_chain(conv, dtype) -> jnp.ndarray:
-    """Per-circuit survivor weights with an absorbing-state fallback.
-
-    Primary: the strict all-conditions mask matching the fake-truth
-    dataset's survivor selection (data/datasets.py). Fallback: when NO
-    circuit in the batch fully converged — the rec13anchor absorbing
-    state: an all-zero mask deletes the adversarial AND anchor gradients
-    while _wmean's unweighted fallback hands the critic ceiling-clamped
-    fakes to explode on — use the SOFT weight (fraction of converged
-    conditions per circuit). Mostly-converged circuits then keep pulling
-    the generator back toward the convergent region; once any circuit
-    fully converges again the strict semantics resume. (The _wmean
-    unweighted fallback remains as the final guard for a batch where not
-    even one solve converged.)"""
-    convf = jax.lax.stop_gradient(conv).astype(dtype)  # (B, S)
-    strict = jnp.min(convf, axis=-1)  # (B,)
-    soft = jnp.mean(convf, axis=-1)  # (B,)
-    return jnp.where(jnp.sum(strict) > 0.0, strict, soft)
+# Per-circuit survivor weights with the absorbing-state soft fallback —
+# shared with the moment matcher (single implementation; see its docstring
+# for the semantics and the rec13anchor absorbing-state rationale). The
+# _wmean unweighted fallback below remains as the final guard for a batch
+# where not even one solve converged.
+from tcgan_tpu.models.moments import survivor_chain as _survivor_chain  # noqa: E402
 
 
 def survivor_weights(cfg, out) -> jnp.ndarray:
@@ -345,7 +337,8 @@ def anchor_loss(cfg, state: TrainState, out):
     """Moment-anchor term (see WGANConfig.moment_anchor): survivor-masked
     EMA-averaged moment residual of the generated TCs against the frozen
     data moments — models/moments.py's objective, evaluated inside the
-    GAN's generator update. Returns (loss, new_ema_mean, new_ema_second);
+    GAN's generator update. Returns (loss, new_ema_mean, new_ema_second,
+    new_ema_count);
     gradients flow through the current batch's (1 - gamma) contribution."""
     from tcgan_tpu.models.moments import data_moments as batch_moments
 
@@ -368,7 +361,9 @@ def anchor_loss(cfg, state: TrainState, out):
     # an estimate. Blending those into the EMA would drag the anchor
     # toward zero for ~1/(1-gamma) subsequent steps after the generator
     # recovers, biasing the straight-through residual; hold the EMA
-    # instead (the batch's pathwise gradient is already zero through w).
+    # instead (the batch's pathwise gradient is already zero through w)
+    # and do not advance the update counter, so the debias factor keeps
+    # matching the mass actually accumulated.
     has_data = jnp.sum(w) > 0
     new_em = jnp.where(has_data,
                        g * sg(state.mom_ema_mean) + (1 - g) * sg(bmean),
@@ -376,7 +371,10 @@ def anchor_loss(cfg, state: TrainState, out):
     new_es = jnp.where(has_data,
                        g * sg(state.mom_ema_second) + (1 - g) * sg(bsecond),
                        sg(state.mom_ema_second))
-    debias = 1.0 - g ** (state.step.astype(bmean.dtype) + 1.0)
+    count = (state.mom_ema_count if state.mom_ema_count is not None
+             else state.step.astype(bmean.dtype))
+    new_count = count + has_data.astype(bmean.dtype)
+    debias = jnp.maximum(1.0 - g ** new_count, 1e-12)
     # Straight-through moment estimate: VALUE = the debiased EMA (low-
     # variance residual, ~batch/(1-gamma) effective samples), GRADIENT =
     # the current batch's full-scale pathwise derivative. Unlike the pure
@@ -391,7 +389,7 @@ def anchor_loss(cfg, state: TrainState, out):
     wc = 1.0 / (jnp.abs(state.data_second) + cfg.moment_eps) ** 2
     me = jnp.mean(wm * (m_mean - state.data_mean) ** 2)
     ce = jnp.mean(wc * (m_second - state.data_second) ** 2)
-    return me + ce, new_em, new_es
+    return me + ce, new_em, new_es, new_count
 
 
 def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
@@ -412,7 +410,7 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
     solver budget absorbs most of it)."""
     if cfg.moment_anchor <= 0:
         return gen_params, dict(mom_ema_mean=None, mom_ema_second=None,
-                                anchor_opt=None), None
+                                mom_ema_count=None, anchor_opt=None), None
     anchor_tx = make_anchor_optimizer(cfg)
     key_a = jax.random.fold_in(key_g, 1)
     gen_cfg = cfg.gen if gen_cfg is None else gen_cfg
@@ -420,10 +418,10 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
     def anchor_only(gp_):
         out = gen_lib.sample_tuning_curves(gen_cfg, gp_, key_a,
                                            cfg.batch_size)
-        aloss, new_em, new_es = anchor_loss(cfg, state, out)
-        return aloss, (new_em, new_es)
+        aloss, new_em, new_es, new_count = anchor_loss(cfg, state, out)
+        return aloss, (new_em, new_es, new_count)
 
-    (aloss, (new_em, new_es)), a_grads = jax.value_and_grad(
+    (aloss, (new_em, new_es, new_count)), a_grads = jax.value_and_grad(
         anchor_only, has_aux=True)(gen_params)
     a_updates, anchor_opt = anchor_tx.update(a_grads, state.anchor_opt,
                                              gen_params)
@@ -431,6 +429,7 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
     return gen_params, dict(
         mom_ema_mean=jax.lax.stop_gradient(new_em),
         mom_ema_second=jax.lax.stop_gradient(new_es),
+        mom_ema_count=jax.lax.stop_gradient(new_count),
         anchor_opt=anchor_opt,
     ), aloss
 

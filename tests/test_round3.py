@@ -310,16 +310,19 @@ def test_anchor_loss_zero_survivor_holds_ema():
     esec = jnp.full_like(dsec, 0.25)
     state = SimpleNamespace(step=jnp.asarray(10, jnp.int32),
                             data_mean=dm, data_second=dsec,
-                            mom_ema_mean=em, mom_ema_second=esec)
+                            mom_ema_mean=em, mom_ema_second=esec,
+                            mom_ema_count=jnp.asarray(10.0, jnp.float32))
 
     out_dead = SimpleNamespace(tc=tc, converged=jnp.zeros((B, S), bool))
-    _, em_d, esec_d = wgan_lib.anchor_loss(cfg, state, out_dead)
+    _, em_d, esec_d, cnt_d = wgan_lib.anchor_loss(cfg, state, out_dead)
     np.testing.assert_allclose(np.asarray(em_d), np.asarray(em))
     np.testing.assert_allclose(np.asarray(esec_d), np.asarray(esec))
+    assert float(cnt_d) == 10.0  # counter holds with the EMA
 
     out_ok = SimpleNamespace(tc=tc, converged=jnp.ones((B, S), bool))
-    _, em_o, _ = wgan_lib.anchor_loss(cfg, state, out_ok)
+    _, em_o, _, cnt_o = wgan_lib.anchor_loss(cfg, state, out_ok)
     assert not np.allclose(np.asarray(em_o), np.asarray(em))
+    assert float(cnt_o) == 11.0
 
 
 def test_ensemble_view_handles_mm_columns(tmp_path):
@@ -345,3 +348,74 @@ def test_ensemble_view_handles_mm_columns(tmp_path):
     summary = ensemble_view.plot_ensemble(rec, str(tmp_path / "e.png"))
     assert summary["n_members"] == 2
     assert (tmp_path / "e.png").exists()
+
+
+def test_data_moments_soft_weights_unbiased():
+    """Soft survivor weights summing below 1 must not bias the weighted
+    moments (the old n = max(sum(w), 1.0) clamp scaled them by sum(w))."""
+    from tcgan_tpu.models.moments import data_moments
+
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.rand(8, 5))
+    m_full, s_full = data_moments(tc)
+    m_soft, s_soft = data_moments(tc, 0.1 * jnp.ones(8))
+    np.testing.assert_allclose(np.asarray(m_soft), np.asarray(m_full),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_soft), np.asarray(s_full),
+                               rtol=1e-6)
+
+
+def test_mm_sample_mask_absorbing_state_fallback():
+    """The mm survivor mask falls back to soft per-circuit weights when NO
+    circuit fully converged (all-zero weights would freeze a fixed_z
+    objective permanently — the rec13anchor absorbing state, previously
+    fixed only for the WGAN family)."""
+    from types import SimpleNamespace
+
+    from tcgan_tpu.models import moments as mm_lib
+
+    cfg = mm_lib.MomentMatchingConfig(gen=_gen_cfg())
+    S = cfg.gen.n_stim
+    conv = jnp.zeros((3, S), bool).at[:, 0].set(True)  # no full survivor
+    w = np.asarray(mm_lib.sample_mask(cfg, SimpleNamespace(converged=conv)))
+    assert w.sum() > 0  # soft fallback active
+    np.testing.assert_allclose(w, 1.0 / S)
+    # strict semantics resume once any circuit fully converges
+    conv2 = conv.at[1].set(True)
+    w2 = np.asarray(mm_lib.sample_mask(cfg, SimpleNamespace(converged=conv2)))
+    np.testing.assert_allclose(w2, [0.0, 1.0, 0.0])
+
+
+def test_mm_ensemble_members_get_distinct_fixed_z_keys():
+    """Under fixed_z every ensemble member must carry its OWN CRN z-set;
+    a shared PRNGKey(seed) would turn the z-set's Monte-Carlo error into
+    a common bias invisible to the member spread."""
+    from tcgan_tpu.models import ensemble as ens_lib
+    from tcgan_tpu.models import moments as mm_lib
+
+    cfg = mm_lib.MomentMatchingConfig(gen=_gen_cfg(), batch_size=4,
+                                      fixed_z=True)
+    states = ens_lib.init_mm_ensemble(cfg, 4, jax.random.PRNGKey(0),
+                                      start_jitter=0.05)
+    zk = np.asarray(states.z_key)
+    assert zk.shape[0] == 4
+    assert len({tuple(row) for row in zk.reshape(4, -1)}) == 4
+
+
+def test_ensemble_member0_ema_params_reset():
+    """With start_jitter, member 0 keeps the exact requested start in its
+    parameter-EMA buffer too (init seeds the EMA from the jittered
+    params)."""
+    from tcgan_tpu.models import ensemble as ens_lib
+
+    cfg = wgan_lib.WGANConfig(gen=_gen_cfg(), batch_size=4,
+                              critic_layers=(8,), ema_decay=0.99)
+    base = jax.tree.map(jnp.asarray,
+                        __import__("tcgan_tpu.models.generator",
+                                   fromlist=["init_params"]).init_params(cfg.gen))
+    states = ens_lib.init_ensemble(cfg, 3, jax.random.PRNGKey(1),
+                                   gen_init=base, start_jitter=0.1)
+    for leaf_s, leaf_b in zip(jax.tree.leaves(states.ema_params),
+                              jax.tree.leaves(base)):
+        np.testing.assert_allclose(np.asarray(leaf_s[0]), np.asarray(leaf_b))
+        assert not np.allclose(np.asarray(leaf_s[1]), np.asarray(leaf_b))
