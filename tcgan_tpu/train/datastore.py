@@ -109,5 +109,11 @@ class DataStore:
         self._flush_info()
 
     def _flush_info(self):
-        with open(self.path / "info.json", "w") as fh:
+        # atomic: eval default-loads the run config from info.json, so a
+        # kill mid-write must not leave a truncated manifest behind
+        import os
+
+        tmp = self.path / "info.json.tmp"
+        with open(tmp, "w") as fh:
             json.dump(self._info, fh, indent=2, default=str)
+        os.replace(tmp, self.path / "info.json")

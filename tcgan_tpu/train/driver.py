@@ -23,12 +23,25 @@ from typing import Any, Callable, Optional
 import jax
 import numpy as np
 
-from tcgan_tpu.models import critic as critic_lib
 from tcgan_tpu.models import generator as gen_lib
 from tcgan_tpu.train.checkpoint import CheckpointManager
 from tcgan_tpu.train.datastore import DataStore, PervasiveDivergenceError
-from tcgan_tpu.train.recorders import RecorderSet
+from tcgan_tpu.train.recorders import (CSVRecorder, GEN_COLUMNS,
+                                       JSONLRecorder, RecorderSet,
+                                       flatten_gen_params)
 from tcgan_tpu.utils.stopwatch import StopWatch
+
+
+def _divergence_streak(streak: int, frac: float, cfg: "DriverConfig",
+                       step: int) -> int:
+    """Shared pervasive-divergence accounting (GAN + MM drivers): returns
+    the updated streak, raising PervasiveDivergenceError at patience."""
+    streak = streak + 1 if frac > cfg.divergence_abort else 0
+    if streak >= cfg.divergence_patience:
+        raise PervasiveDivergenceError(
+            f"step {step}: diverged fraction {frac:.2f} exceeded "
+            f"{cfg.divergence_abort} for {streak} steps")
+    return streak
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,7 +53,6 @@ class DriverConfig:
     timing_every: int = 0  # measure SSsolve_time/gradient_time every k steps
     divergence_abort: float = 0.5  # abort if frac_diverged > this ...
     divergence_patience: int = 20  # ... for this many consecutive steps
-    log_every: int = 10
     seed: int = 0
     # Adaptive train-time solver budget (SURVEY.md §5.3 failure semantics):
     # cap the solver's max_iter at ``adaptive_margin`` x the EMA of healthy
@@ -88,11 +100,23 @@ class GANDriver:
         self._div_streak = 0
         self._tc_mean_fn = None
         self._iter_ema = None  # EMA of healthy-step mean iters (see _adapt)
+        self._capped_unhealthy = 0  # escape-valve streak (see _adapt)
         self._orig_max_iter = int(model_cfg.gen.ssn.max_iter)
+        # Adaptive-budget state survives resume via a sidecar (the orbax
+        # checkpoint holds model state only): without it a resumed run
+        # restarts at the original uncapped budget with a disarmed EMA —
+        # absent exactly during the divergence outbreaks it exists for.
+        if self.cfg.adaptive_max_iter:
+            self._restore_adaptive_state()
 
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
         start = int(self.state.step)
+        if start > 0:
+            # Resume: the streams were flushed every step but checkpoints
+            # are periodic — drop rows from the replayed window instead of
+            # appending a second, divergent set for the same steps.
+            self.recorders.truncate_from(start)
         # Fold the starting step into the key so a checkpoint-resumed run
         # draws FRESH data/noise keys instead of replaying the step-0..n
         # sequence. (Note: resumed and uninterrupted runs still use
@@ -125,8 +149,10 @@ class GANDriver:
                         and (step + 1) % self.cfg.checkpoint_every == 0):
                     self.checkpoints.save(step + 1, self.state)
                     self._export_params(step + 1)
+                    self._save_adaptive_state()
             self.checkpoints.save(start + n_steps, self.state)
             self._export_params(start + n_steps)
+            self._save_adaptive_state()
             self.store.finalize("finished")
         except PervasiveDivergenceError as e:
             self.store.finalize("known_error", {"error": str(e)})
@@ -173,14 +199,19 @@ class GANDriver:
                if not k.endswith("_iters") or k == "mean_iters"}
         row["step"] = step
         row["train_time"] = self.watch.last("train")
-        row["SSsolve_time"] = self.watch.last("SSsolve")
-        row["gradient_time"] = self.watch.last("gradient")
+        # NaN on steps without a probe: repeating the last lap would be
+        # indistinguishable from a fresh measurement in the CSV
+        probed = self.cfg.timing_every and step % self.cfg.timing_every == 0
+        row["SSsolve_time"] = self.watch.last("SSsolve") if probed else np.nan
+        row["gradient_time"] = (self.watch.last("gradient") if probed
+                                else np.nan)
         self.recorders.record_learning(row)
-        if getattr(metrics, "d_loss_iters", None) is not None:
-            self.recorders.record_disc_learning(
-                step, metrics.d_loss_iters, metrics.wasserstein_iters,
-                metrics.gp_iters, metrics.acc_iters,
-            )
+        iters_streams = tuple(
+            getattr(metrics, n, None)
+            for n in ("d_loss_iters", "wasserstein_iters", "gp_iters",
+                      "acc_iters"))
+        if all(s is not None for s in iters_streams):
+            self.recorders.record_disc_learning(step, *iters_streams)
         self.recorders.record_generator(
             step, gen_lib.param_values_np(self.model_cfg.gen, gen_params))
         self.recorders.record_disc_stats(step, {
@@ -248,9 +279,25 @@ class GANDriver:
 
         fconv = float(metrics.frac_converged)
         miters = float(metrics.mean_iters)
+        capped = self.model_cfg.gen.ssn.max_iter < self._orig_max_iter
         if fconv >= 0.9 and math.isfinite(miters) and miters > 0:
             self._iter_ema = (miters if self._iter_ema is None
                               else 0.95 * self._iter_ema + 0.05 * miters)
+            self._capped_unhealthy = 0
+        elif capped:
+            # Escape valve: if the cap itself is what keeps the batch
+            # unhealthy (a legitimately slow tail now reads "unconverged"
+            # and the EMA gate never fires again — an absorbing state),
+            # raise the EMA one bucket after a sustained unhealthy streak.
+            # A genuine divergence outbreak is bounded by the original
+            # max_iter (pre-feature behavior) and by divergence_abort.
+            self._capped_unhealthy += 1
+            if self._capped_unhealthy >= 50:
+                self._iter_ema *= 2.0
+                self._capped_unhealthy = 0
+                print(f"[driver] step {step}: adaptive budget escape valve"
+                      f" — <90% converged for 50 capped steps, EMA -> "
+                      f"{self._iter_ema:.0f}")
         if self._iter_ema is None:
             return
         target = self.cfg.adaptive_margin * self._iter_ema
@@ -265,18 +312,53 @@ class GANDriver:
                 self.model_cfg.gen,
                 ssn=dataclasses.replace(ssn, max_iter=bucket))
             self.model_cfg = dataclasses.replace(self.model_cfg, gen=gen)
+            # The timing probes and the tc_mean snapshot close over the
+            # OLD gen config — rebuild them on the new budget, or every
+            # recorded SSsolve/gradient probe keeps paying the stale
+            # (typically uncapped) solver cost the cap exists to remove.
+            for attr in ("_solve_fn", "_grad_fn"):
+                if hasattr(self, attr):
+                    delattr(self, attr)
+            self._tc_mean_fn = None
+
+    _ADAPTIVE_SIDECAR = "adaptive_budget.json"
+
+    def _save_adaptive_state(self):
+        import json
+
+        if not self.cfg.adaptive_max_iter or self._iter_ema is None:
+            return
+        path = self.store.file(self._ADAPTIVE_SIDECAR)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({
+            "iter_ema": self._iter_ema,
+            "max_iter": int(self.model_cfg.gen.ssn.max_iter)}))
+        import os
+
+        os.replace(tmp, path)
+
+    def _restore_adaptive_state(self):
+        import json
+
+        path = self.store.file(self._ADAPTIVE_SIDECAR)
+        try:
+            saved = json.loads(path.read_text())
+        except (OSError, ValueError):
+            return
+        self._iter_ema = float(saved["iter_ema"])
+        bucket = min(int(saved["max_iter"]), self._orig_max_iter)
+        if bucket < self._orig_max_iter:
+            print(f"[driver] resume: restoring adaptive solver budget "
+                  f"max_iter -> {bucket} (EMA {self._iter_ema:.0f})")
+            gen = dataclasses.replace(
+                self.model_cfg.gen,
+                ssn=dataclasses.replace(self.model_cfg.gen.ssn,
+                                        max_iter=bucket))
+            self.model_cfg = dataclasses.replace(self.model_cfg, gen=gen)
 
     def _check_divergence(self, step: int, metrics):
-        frac = float(metrics.frac_diverged)
-        if frac > self.cfg.divergence_abort:
-            self._div_streak += 1
-        else:
-            self._div_streak = 0
-        if self._div_streak >= self.cfg.divergence_patience:
-            raise PervasiveDivergenceError(
-                f"step {step}: diverged fraction {frac:.2f} exceeded "
-                f"{self.cfg.divergence_abort} for {self._div_streak} steps"
-            )
+        self._div_streak = _divergence_streak(
+            self._div_streak, float(metrics.frac_diverged), self.cfg, step)
 
 
 class MomentMatchingDriver:
@@ -293,7 +375,6 @@ class MomentMatchingDriver:
         self.state = state
         self.data_mean, self.data_second = data_moments
         self.checkpoints = checkpoints or CheckpointManager(store.subdir("ckpt"))
-        from tcgan_tpu.train.recorders import CSVRecorder, GEN_COLUMNS, JSONLRecorder
         self._learning = CSVRecorder(
             store.file("learning.csv"),
             ["step", "loss", "mean_err", "cov_err", "rate_penalty",
@@ -307,6 +388,10 @@ class MomentMatchingDriver:
     def run(self, n_steps: Optional[int] = None, on_step=None):
         n_steps = n_steps if n_steps is not None else self.cfg.n_steps
         start = int(self.state.step)
+        if start > 0:
+            # As in GANDriver.run: drop the replayed window's rows.
+            for rec in (self._learning, self._jsonl, self._gen):
+                rec.truncate_from(start)
         # As in GANDriver.run: fresh keys after resume (no replay).
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
         try:
@@ -327,18 +412,12 @@ class MomentMatchingDriver:
                            train_time=self.watch.last("train"))
                 self._learning.record(row)
                 self._jsonl.record(row)
-                from tcgan_tpu.train.recorders import flatten_gen_params
                 g = {"step": step}
                 g.update(flatten_gen_params(
                     gen_lib.param_values_np(self.model_cfg.gen, gen_params)))
                 self._gen.record(g)
-                if float(m.frac_diverged) > self.cfg.divergence_abort:
-                    self._div_streak += 1
-                else:
-                    self._div_streak = 0
-                if self._div_streak >= self.cfg.divergence_patience:
-                    raise PervasiveDivergenceError(
-                        f"step {step}: pervasive divergence")
+                self._div_streak = _divergence_streak(
+                    self._div_streak, float(m.frac_diverged), self.cfg, step)
                 if on_step is not None:
                     on_step(step, self.state, m)
                 if (self.cfg.checkpoint_every

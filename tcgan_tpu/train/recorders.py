@@ -8,7 +8,7 @@ transfer:
                           gradient penalty, convergence counts, timing).
 - ``generator.csv``     — per-step flattened generator params (J/D/S blocks).
 - ``disc_param_stats.csv`` — per-step critic parameter norms.
-- ``tc_mean.csv``       — periodic mean generated tuning curve.
+- ``tc_mean.jsonl``     — periodic mean generated tuning curve.
 - ``learning.jsonl``    — optional JSONL mirror of learning.csv (modern
                           consumers; enabled by default).
 
@@ -52,6 +52,25 @@ class CSVRecorder:
         self._writer.writerow([_scalar(row.get(c, "")) for c in self.columns])
         self._fh.flush()
 
+    def truncate_from(self, step: int):
+        """Drop rows with step >= ``step`` (resume support: the recorders
+        are flushed every step but checkpoints are periodic, so a crashed
+        run has rows past the restored step; appending a second divergent
+        set of rows for the replayed window would double-count them in
+        every downstream analyzer)."""
+        if "step" not in self.columns:
+            return
+        idx = self.columns.index("step")
+        self._fh.close()
+        with open(self.path, newline="") as f:
+            rows = list(csv.reader(f))
+        kept = rows[:1] + [r for r in rows[1:]
+                           if r and float(r[idx]) < step]
+        with open(self.path, "w", newline="") as f:
+            csv.writer(f).writerows(kept)
+        self._fh = open(self.path, "a", newline="")
+        self._writer = csv.writer(self._fh)
+
     def close(self):
         self._fh.close()
 
@@ -60,11 +79,28 @@ class JSONLRecorder:
     """Append-only JSONL stream (schemaless companion to the CSVs)."""
 
     def __init__(self, path: Path):
+        self.path = Path(path)
         self._fh = open(path, "a")
 
     def record(self, row: Dict[str, Any]):
         self._fh.write(json.dumps({k: _scalar(v) for k, v in row.items()}) + "\n")
         self._fh.flush()
+
+    def truncate_from(self, step: int):
+        """Drop rows with step >= ``step`` (see CSVRecorder.truncate_from)."""
+        self._fh.close()
+        kept = []
+        with open(self.path) as f:
+            for line in f:
+                try:
+                    if json.loads(line).get("step", -1) >= step:
+                        continue
+                except Exception:
+                    pass
+                kept.append(line)
+        with open(self.path, "w") as f:
+            f.writelines(kept)
+        self._fh = open(self.path, "a")
 
     def close(self):
         self._fh.close()
@@ -145,6 +181,14 @@ class RecorderSet:
 
     def record_tc_mean(self, step: int, tc_mean) -> None:
         self.tc_mean.record({"step": step, "tc_mean": np.asarray(tc_mean).tolist()})
+
+    def truncate_from(self, step: int):
+        """Resume support: drop every stream's rows at/after ``step``."""
+        for rec in (self.learning, self.generator, self.disc_stats,
+                    self.disc_learning, self.tc_mean):
+            rec.truncate_from(step)
+        if self.jsonl:
+            self.jsonl.truncate_from(step)
 
     def close(self):
         self.learning.close()

@@ -419,3 +419,69 @@ def test_ensemble_member0_ema_params_reset():
                               jax.tree.leaves(base)):
         np.testing.assert_allclose(np.asarray(leaf_s[0]), np.asarray(leaf_b))
         assert not np.allclose(np.asarray(leaf_s[1]), np.asarray(leaf_b))
+
+
+def test_adaptive_budget_escape_valve_and_sidecar(tmp_path):
+    """(1) Escape valve: when the cap itself keeps frac_converged < 0.9
+    (an absorbing state — the EMA gate would never fire again), 50
+    sustained unhealthy capped steps raise the EMA one bucket. (2) The
+    adaptive state survives resume via the sidecar file (orbax holds
+    model state only)."""
+    from tcgan_tpu.train.datastore import DataStore
+    from tcgan_tpu.train.driver import DriverConfig, GANDriver
+
+    gen = _gen_cfg(ssn=SSNConfig(N=6, max_iter=8192))
+    cfg = wgan_lib.WGANConfig(gen=gen, batch_size=4)
+    state = wgan_lib.init_state(cfg)
+
+    class M:
+        def __init__(self, fconv, miters):
+            self.frac_converged = fconv
+            self.mean_iters = miters
+
+    store = DataStore(tmp_path)
+    dcfg = DriverConfig(adaptive_max_iter=True, adaptive_margin=4.0)
+    drv = GANDriver(cfg, dcfg, store, lambda *a: None, state,
+                    lambda *a: None)
+    for s in range(5):
+        drv._adapt_solver_budget(s, M(1.0, 400.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048
+    # slow-but-convergent tail cut off by the cap: unhealthy while capped
+    for s in range(49):
+        drv._adapt_solver_budget(10 + s, M(0.85, 2048.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048  # not yet
+    drv._adapt_solver_budget(60, M(0.85, 2048.0))  # 50th -> valve fires
+    assert drv.model_cfg.gen.ssn.max_iter == 4096
+    # a healthy step resets the streak and resumes normal EMA tracking
+    drv._adapt_solver_budget(61, M(0.95, 500.0))
+    assert drv._capped_unhealthy == 0
+
+    # sidecar: persists at checkpoint time, restored by a fresh driver
+    drv._save_adaptive_state()
+    drv2 = GANDriver(cfg, dcfg, store, lambda *a: None, state,
+                     lambda *a: None)
+    assert drv2._iter_ema is not None
+    assert drv2.model_cfg.gen.ssn.max_iter == drv.model_cfg.gen.ssn.max_iter
+
+
+def test_recorder_truncate_from(tmp_path):
+    """Resume support: rows at/after the restored step are dropped from
+    CSV and JSONL streams instead of being double-recorded."""
+    from tcgan_tpu.train.recorders import CSVRecorder, JSONLRecorder
+
+    c = CSVRecorder(tmp_path / "x.csv", ["step", "v"])
+    j = JSONLRecorder(tmp_path / "x.jsonl")
+    for s in range(6):
+        c.record({"step": s, "v": s * 10})
+        j.record({"step": s, "v": s * 10})
+    c.truncate_from(3)
+    j.truncate_from(3)
+    c.record({"step": 3, "v": 999})  # the resumed step's fresh row
+    c.close(), j.close()
+    import csv as csv_mod
+    rows = list(csv_mod.reader(open(tmp_path / "x.csv")))[1:]
+    assert [int(float(r[0])) for r in rows] == [0, 1, 2, 3]
+    assert rows[-1][1] == "999"
+    import json as json_mod
+    steps = [json_mod.loads(l)["step"] for l in open(tmp_path / "x.jsonl")]
+    assert steps == [0, 1, 2]
