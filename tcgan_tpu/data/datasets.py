@@ -44,8 +44,20 @@ def load_tuning_curves(path: str | Path) -> np.ndarray:
                 "(key 'tuning_curves') instead"
             ) from e
         data = loadmat(path)
-        arrays = [v for k, v in data.items() if not k.startswith("__")]
-        return np.asarray(arrays[0])
+        arrays = {k: v for k, v in data.items() if not k.startswith("__")}
+        # Named-key convention first (as for .npz); otherwise require the
+        # file to be unambiguous — "first variable" would silently train
+        # on whatever loadmat happened to yield first (e.g. a metadata
+        # scalar next to the real TC matrix).
+        for key in ("tuning_curves", "tc", "tc_data"):
+            if key in arrays:
+                return np.asarray(arrays[key])
+        if len(arrays) == 1:
+            return np.asarray(next(iter(arrays.values())))
+        raise ValueError(
+            f"{path} holds {sorted(arrays)} — name the tuning-curve "
+            "variable 'tuning_curves' (or 'tc'), or export a single-"
+            "variable file")
     raise ValueError(f"unsupported dataset format: {path.suffix}")
 
 

@@ -20,6 +20,9 @@ from tcgan_tpu.run.gan_common import make_gan_parser, run_gan
 def make_parser():
     p = make_gan_parser(__doc__)
     p.add_argument("--solver", choices=("bptt", "ift"), default="bptt")
+    p.add_argument("--bptt-checkpoint-chunk", type=int, default=0,
+                   help="remat chunk size (0 = no checkpointing); the "
+                        "memory lever for long --seqlen BPTT runs")
     return p
 
 

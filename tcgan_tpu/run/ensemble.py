@@ -66,10 +66,26 @@ def main(argv=None) -> int:
     from tcgan_tpu.models import wgan as wgan_lib
 
     gen_cfg = common.generator_config_from_args(args, solver="ift")
+    if args.record_every < 1:
+        raise SystemExit("--record-every must be >= 1 (ensemble.csv IS "
+                         "the run's output stream)")
+    # Contradictory flag combinations error loudly instead of resolving
+    # silently (an unconditional mm or a cwgan recorded as 'wgan' would
+    # otherwise train behind the user's back).
+    if args.estimator == "wgan" and args.conditional:
+        raise SystemExit("--estimator wgan contradicts --conditional; "
+                         "use --estimator cwgan (or drop --conditional)")
     estimator = args.estimator or ("cwgan" if args.conditional else "wgan")
     if estimator == "cwgan":
         args.conditional = True
     if estimator == "mm":
+        if args.conditional:
+            raise SystemExit("--estimator mm has no conditional path; "
+                             "drop --conditional")
+        if args.parallel == "mesh":
+            raise SystemExit("--estimator mm does not support --parallel "
+                             "mesh (members are not sharded); drop the "
+                             "flag to run single-device")
         return _run_mm(args, gen_cfg)
     model = cwgan_lib if args.conditional else wgan_lib
 
@@ -95,6 +111,42 @@ def main(argv=None) -> int:
 
     with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
         return _run(args, gen_cfg, step_fn, model)
+
+
+def _member_param_columns(gen_cfg, gp_host, m):
+    """Flattened J/D/S CSV columns of member ``m`` (shared by the wgan and
+    mm runners so the two artifacts cannot silently diverge)."""
+    import jax
+    import numpy as np
+
+    from tcgan_tpu.models import generator as gen_lib
+
+    J, D, S = gen_lib.param_values_np(
+        gen_cfg, jax.tree.map(lambda a: a[m], gp_host))
+    out = {}
+    for blk, val in (("J", J), ("D", D), ("S", S)):
+        v = np.asarray(val)
+        for i, a in enumerate(("E", "I")):
+            for j, b in enumerate(("E", "I")):
+                out[f"{blk}_{a}{b}"] = float(v[i][j])
+    return out
+
+
+def _stack_member_params(gen_cfg, host_params, K, suffix=""):
+    """K-member-stacked J/D/S arrays for ensemble_params.npz."""
+    import jax
+    import numpy as np
+
+    from tcgan_tpu.models import generator as gen_lib
+
+    stacked = {}
+    for m in range(K):
+        J, D, S = gen_lib.param_values_np(
+            gen_cfg, jax.tree.map(lambda a: a[m], host_params))
+        for blk, val in ((f"J{suffix}", J), (f"D{suffix}", D),
+                         (f"S{suffix}", S)):
+            stacked.setdefault(blk, []).append(np.asarray(val))
+    return {k: np.stack(v) for k, v in stacked.items()}
 
 
 def _run_mm(args, gen_cfg) -> int:
@@ -159,6 +211,10 @@ def _run_mm(args, gen_cfg) -> int:
     watch = StopWatch()
 
     start = int(np.asarray(states.step)[0])
+    if start > 0:
+        # resume: drop the replayed window's rows (the stream flushes
+        # every record but checkpoints are periodic — see GANDriver.run)
+        rec.truncate_from(start)
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7919), start)
     true_params = None
     if not args.dataset:
@@ -184,25 +240,22 @@ def _run_mm(args, gen_cfg) -> int:
                          "frac_converged", "frac_diverged")}
                 gp_host = jax.tree.map(np.asarray, states.gen_params)
                 for m in range(K):
-                    J, D, S = gen_lib.param_values_np(
-                        cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
-                    row = {"step": step, "member": m,
-                           "train_time": watch.last("train"),
-                           **{f: float(v[m]) for f, v in host.items()}}
-                    for blk, val in (("J", J), ("D", D), ("S", S)):
-                        for i, a in enumerate(pops):
-                            for j, b in enumerate(pops):
-                                row[f"{blk}_{a}{b}"] = float(val[i][j])
-                    rec.record(row)
-                fdiv = float(host["frac_diverged"].mean())
-                if fdiv > args.divergence_abort:
-                    divergence_strikes += 1
-                    if divergence_strikes >= args.divergence_patience:
-                        raise PervasiveDivergenceError(
-                            f"ensemble mean frac_diverged={fdiv:.2f} for "
-                            f"{divergence_strikes} recorded steps")
-                else:
-                    divergence_strikes = 0
+                    rec.record({"step": step, "member": m,
+                                "train_time": watch.last("train"),
+                                **{f: float(v[m]) for f, v in host.items()},
+                                **_member_param_columns(cfg.gen, gp_host, m)})
+            # divergence accounting every REAL step: a record-gated check
+            # would abort record_every-fold later than the single-run
+            # driver on the same runaway
+            fdiv = float(np.asarray(metrics.frac_diverged).mean())
+            if fdiv > args.divergence_abort:
+                divergence_strikes += 1
+                if divergence_strikes >= args.divergence_patience:
+                    raise PervasiveDivergenceError(
+                        f"ensemble mean frac_diverged={fdiv:.2f} for "
+                        f"{divergence_strikes} steps")
+            else:
+                divergence_strikes = 0
 
             if (args.checkpoint_every
                     and (step + 1) % args.checkpoint_every == 0):
@@ -216,14 +269,8 @@ def _run_mm(args, gen_cfg) -> int:
     ckpt.close()
 
     gp_host = jax.tree.map(np.asarray, states.gen_params)
-    stacked = {}
-    for m in range(K):
-        J, D, S = gen_lib.param_values_np(
-            cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
-        for blk, val in (("J", J), ("D", D), ("S", S)):
-            stacked.setdefault(blk, []).append(np.asarray(val))
     np.savez(store.file("ensemble_params.npz"),
-             **{k: np.stack(v) for k, v in stacked.items()})
+             **_stack_member_params(cfg.gen, gp_host, K))
 
     summary = ens_lib.ensemble_summary(cfg, states, true_params)
     with open(store.file("ensemble_summary.json"), "w") as f:
@@ -339,6 +386,10 @@ def _run(args, gen_cfg, step_fn, model) -> int:
     watch = StopWatch()
 
     start = int(np.asarray(states.step)[0])
+    if start > 0:
+        # resume: drop the replayed window's rows (the stream flushes
+        # every record but checkpoints are periodic — see GANDriver.run)
+        rec.truncate_from(start)
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7919), start)
     true_params = None
     if not args.dataset:
@@ -367,25 +418,20 @@ def _run(args, gen_cfg, step_fn, model) -> int:
                          "frac_converged", "frac_diverged", "mean_iters")}
                 gp_host = jax.tree.map(np.asarray, states.gen_params)
                 for m in range(K):
-                    J, D, S = gen_lib.param_values_np(
-                        cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
-                    row = {"step": step, "member": m,
-                           "train_time": watch.last("train"),
-                           **{f: float(v[m]) for f, v in host.items()}}
-                    for blk, val in (("J", J), ("D", D), ("S", S)):
-                        for i, a in enumerate(pops):
-                            for j, b in enumerate(pops):
-                                row[f"{blk}_{a}{b}"] = float(val[i][j])
-                    rec.record(row)
-                fdiv = float(host["frac_diverged"].mean())
-                if fdiv > args.divergence_abort:
-                    divergence_strikes += 1
-                    if divergence_strikes >= args.divergence_patience:
-                        raise PervasiveDivergenceError(
-                            f"ensemble mean frac_diverged={fdiv:.2f} for "
-                            f"{divergence_strikes} recorded steps")
-                else:
-                    divergence_strikes = 0
+                    rec.record({"step": step, "member": m,
+                                "train_time": watch.last("train"),
+                                **{f: float(v[m]) for f, v in host.items()},
+                                **_member_param_columns(cfg.gen, gp_host, m)})
+            # divergence accounting every REAL step (see _run_mm)
+            fdiv = float(np.asarray(metrics.frac_diverged).mean())
+            if fdiv > args.divergence_abort:
+                divergence_strikes += 1
+                if divergence_strikes >= args.divergence_patience:
+                    raise PervasiveDivergenceError(
+                        f"ensemble mean frac_diverged={fdiv:.2f} for "
+                        f"{divergence_strikes} steps")
+            else:
+                divergence_strikes = 0
 
             if (args.checkpoint_every
                     and (step + 1) % args.checkpoint_every == 0):
@@ -400,22 +446,11 @@ def _run(args, gen_cfg, step_fn, model) -> int:
 
     # Final artifacts: stacked params + summary.
     gp_host = jax.tree.map(np.asarray, states.gen_params)
-    stacked = {}
-    for m in range(K):
-        J, D, S = gen_lib.param_values_np(
-            cfg.gen, jax.tree.map(lambda a: a[m], gp_host))
-        for blk, val in (("J", J), ("D", D), ("S", S)):
-            stacked.setdefault(blk, []).append(np.asarray(val))
-    npz = {k: np.stack(v) for k, v in stacked.items()}
+    npz = _stack_member_params(cfg.gen, gp_host, K)
     if cfg.ema_decay > 0 and states.ema_params is not None:
         ema_host = jax.tree.map(np.asarray, states.ema_params)
-        for m in range(K):
-            J, D, S = gen_lib.param_values_np(
-                cfg.gen, jax.tree.map(lambda a: a[m], ema_host))
-            for blk, val in (("J_ema", J), ("D_ema", D), ("S_ema", S)):
-                stacked.setdefault(blk, []).append(np.asarray(val))
-        for blk in ("J_ema", "D_ema", "S_ema"):
-            npz[blk] = np.stack(stacked[blk])
+        npz.update(_stack_member_params(cfg.gen, ema_host, K,
+                                        suffix="_ema"))
     np.savez(store.file("ensemble_params.npz"), **npz)
 
     summary = ens_lib.ensemble_summary(cfg, states, true_params)

@@ -135,6 +135,20 @@ def main(argv=None):
     spc = gen_cfg.samples_per_circuit()
     gen_tc = tc[np.repeat(ok, spc)] if not gen_cfg.track_offset_identity else tc[ok]
 
+    if gen_tc.shape[0] == 0:
+        # The fitted parameters sit in the divergent region — exactly the
+        # runs one most wants to diagnose. Report that honestly instead
+        # of crashing inside np.quantile on a zero-row array.
+        print(json.dumps({
+            "n_gen": 0,
+            "frac_converged": float(np.asarray(out.converged).mean()),
+            "fitted_params": {k: np.asarray(v).tolist()
+                              for k, v in fitted.items()},
+            "error": "no generated sample survived the run's survivor "
+                     "selection — W1 metrics undefined",
+        }))
+        return 1
+
     dataset = common.load_or_generate_dataset(args, gen_cfg)
     data_tc = np.asarray(dataset.tc)
 
@@ -148,10 +162,12 @@ def main(argv=None):
     }
     if overrides:
         result["config_overrides"] = overrides
-    if args.true_J or args.true_D or args.true_S:
-        # Same fallback chain as fake-truth dataset generation
-        # (resolve_true_params -> DEFAULT_J/D/S), so recovery errors are
-        # computed against the ground truth the dataset actually used.
+    if not args.dataset:
+        # Fake-truth run: the truth is always known — resolve_true_params
+        # is the SAME fallback chain dataset generation used, so recovery
+        # errors are computed against the dataset's actual ground truth
+        # even when the run trained on the DEFAULT_J/D/S fallback (all
+        # --true-* flags absent).
         tj, td, ts = common.resolve_true_params(args)
         true = {"J": np.asarray(tj), "D": np.asarray(td),
                 "S": np.asarray(ts)}

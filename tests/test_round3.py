@@ -485,3 +485,38 @@ def test_recorder_truncate_from(tmp_path):
     import json as json_mod
     steps = [json_mod.loads(l)["step"] for l in open(tmp_path / "x.jsonl")]
     assert steps == [0, 1, 2]
+
+
+def test_ensemble_flag_contradictions_error_loudly():
+    """--estimator wgan + --conditional, --estimator mm + --conditional,
+    mm + --parallel mesh, and --record-every 0 must all SystemExit instead
+    of silently resolving to something the user did not ask for."""
+    from tcgan_tpu.run import ensemble as ens_run
+
+    base = ("--datastore /tmp/x --N 8 --batch-size 4 "
+            "--J .045 .04 .05 .035 --D .1 .08 .1 .08 "
+            "--S .25 .1 .25 .1").split()
+    for extra in (["--estimator", "wgan", "--conditional"],
+                  ["--estimator", "mm", "--conditional"],
+                  ["--estimator", "mm", "--parallel", "mesh"],
+                  ["--record-every", "0"]):
+        with pytest.raises(SystemExit):
+            ens_run.main(base + extra)
+
+
+def test_mat_loader_requires_unambiguous_variable(tmp_path):
+    scipy = pytest.importorskip("scipy.io")
+    from tcgan_tpu.data.datasets import load_tuning_curves
+
+    tc = np.arange(12.0).reshape(3, 4)
+    # named key wins even among several variables
+    scipy.savemat(tmp_path / "named.mat", {"meta": np.ones((1, 1)),
+                                           "tuning_curves": tc})
+    np.testing.assert_allclose(load_tuning_curves(tmp_path / "named.mat"), tc)
+    # single unnamed variable is unambiguous
+    scipy.savemat(tmp_path / "single.mat", {"whatever": tc})
+    np.testing.assert_allclose(load_tuning_curves(tmp_path / "single.mat"), tc)
+    # several unnamed variables: refuse rather than guess
+    scipy.savemat(tmp_path / "ambig.mat", {"a": np.ones((1, 1)), "b": tc})
+    with pytest.raises(ValueError):
+        load_tuning_curves(tmp_path / "ambig.mat")
