@@ -25,14 +25,21 @@ from tcgan_tpu.analysis.loaders import EnsembleRecord, load_ensemble
 
 
 def spread_vs_spectrum(rec: EnsembleRecord, jacobian: np.ndarray):
-    """(singular_values, member spread along each right singular dir)."""
+    """(singular_values, member spread along each right singular dir).
+
+    full_matrices SVD with zero-padded singular values: a moment-deficient
+    battery (fewer moment rows than the 12 params) has an EXACT null
+    space, and the reduced SVD would silently drop those flattest
+    directions — exactly the ones the spread panel exists to expose."""
     K = rec.params["J"].shape[0]
     theta = np.concatenate(
         [np.log(rec.params[k].reshape(K, 4)) for k in ("J", "D", "S")],
         axis=1)
     d = theta - theta.mean(axis=0)
-    _, s, vt = np.linalg.svd(np.asarray(jacobian, dtype=np.float64),
-                             full_matrices=False)
+    jac = np.asarray(jacobian, dtype=np.float64)
+    _, s, vt = np.linalg.svd(jac, full_matrices=True)
+    if s.shape[0] < jac.shape[1]:
+        s = np.concatenate([s, np.zeros(jac.shape[1] - s.shape[0])])
     spread = (d @ vt.T).std(axis=0)
     return s, spread
 

@@ -91,6 +91,11 @@ def plot_fit_quality(rec: RunRecord, out_path, true_params=None,
     pops = ("E", "I")
     for j, name in enumerate("JDS"):
         ax = axes[1][j]
+        if f"{name}_EE" not in rec.generator:
+            # run aborted before the first generator.csv flush: render
+            # the remaining panels rather than KeyError out
+            ax.set_title(f"{name} trajectories (no generator stream)")
+            continue
         traj = rec.gen_param_trajectory(name)
         gsteps = rec.generator.get("step", np.arange(traj.shape[0]))
         for a in range(2):

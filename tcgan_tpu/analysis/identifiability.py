@@ -170,11 +170,13 @@ def moment_jacobian(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0,
     fn = lambda t: moment_fn(gen_cfg, t, z)
     moments, vjp_fn = jax.vjp(fn, theta)  # one forward serves both
     M = moments.shape[0]
+    pull = jax.jit(lambda cts: jax.vmap(lambda ct: vjp_fn(ct)[0])(cts))
+    eye = jnp.eye(M, dtype=moments.dtype)
     if chunk is None or chunk >= M:
-        jac = jax.jit(jax.jacrev(fn))(theta)
+        # reuse the vjp from the forward above — jacrev would redo the
+        # entire generator forward (a second full solve battery)
+        jac = pull(eye)
     else:
-        pull = jax.jit(lambda cts: jax.vmap(lambda ct: vjp_fn(ct)[0])(cts))
-        eye = jnp.eye(M, dtype=moments.dtype)
         rows = []
         for lo in range(0, M, chunk):
             block = eye[lo:lo + chunk]
@@ -216,7 +218,16 @@ def identifiability_report(jac: np.ndarray,
     units of [rate change per 100% relative param change].
     """
     jac = np.asarray(jac, dtype=np.float64)
-    u, s, vt = np.linalg.svd(jac, full_matrices=False)
+    # full_matrices: a battery with fewer moment rows than params has an
+    # EXACT null space that reduced SVD cannot see — sigma_min would be
+    # the smallest of M positive row-space values and the report would
+    # rank a degenerate battery as fully identifying all parameters.
+    # Zero-pad s to the param count so sigma_min/condition_number/ridge
+    # reflect the true spectrum (same convention as subspace_errors).
+    u, s, vt = np.linalg.svd(jac, full_matrices=True)
+    n_par = jac.shape[1]
+    if s.shape[0] < n_par:
+        s = np.concatenate([s, np.zeros(n_par - s.shape[0])])
     ridge = vt[-1]
     # sign convention: largest-|.| component positive
     ridge = ridge * np.sign(ridge[np.argmax(np.abs(ridge))])
@@ -247,7 +258,7 @@ def battery_score(gen_cfg, J, D, S, n_circuits: int = 256, seed: int = 0,
     rep["n_moments"] = int(jac.shape[0])
     rep["moment_scale"] = float(np.abs(moments).mean())
     rep["frac_converged"], rep["circuit_yield"] = convergence_fraction(
-        gen_cfg, J, D, S, seed=seed)
+        gen_cfg, J, D, S, n_circuits=n_circuits, seed=seed)
     return rep
 
 

@@ -63,6 +63,9 @@ def plot_run(rec: RunRecord, out_path: str, true_params=None):
     pops = ("E", "I")
     for j, name in enumerate("JDS"):
         ax = axes[1, j]
+        if f"{name}_EE" not in rec.generator:
+            ax.set_title(f"{name} trajectories (no generator stream)")
+            continue
         traj = rec.gen_param_trajectory(name)  # (steps, 2, 2)
         gsteps = rec.generator.get("step", np.arange(traj.shape[0]))
         for a in range(2):
@@ -98,7 +101,7 @@ def main(argv=None):
     rec = load_run(args.rundir)
     out = args.out or str(rec.path / "learning_curves.png")
     true_params = None
-    if args.true_J:
+    if args.true_J or args.true_D or args.true_S:
         as22 = lambda f: ((f[0], f[1]), (f[2], f[3]))
         true_params = {n: as22(getattr(args, f"true_{n}"))
                        for n in "JDS" if getattr(args, f"true_{n}")}

@@ -97,7 +97,12 @@ class EnsembleRecord:
     @property
     def n_members(self) -> int:
         m = self.table.get("member")
-        return int(m.max()) + 1 if m is not None and m.size else 0
+        if m is None or not m.size:
+            return 0
+        # a torn/partial final row (live-monitoring a running ensemble)
+        # parses as NaN; skip it rather than crash on int(NaN)
+        m = m[np.isfinite(m)]
+        return int(m.max()) + 1 if m.size else 0
 
     def member_mask(self, member: int) -> np.ndarray:
         return self.table["member"] == member

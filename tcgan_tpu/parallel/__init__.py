@@ -14,4 +14,5 @@ from tcgan_tpu.parallel.mesh import (  # noqa: F401
     make_sharded_ensemble_step,
     make_sharded_gan_step,
     make_sharded_mm_step,
+    with_mesh_axes,
 )

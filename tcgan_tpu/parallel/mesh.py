@@ -39,8 +39,19 @@ def make_mesh(
 ) -> Mesh:
     """Build a (batch [, model]) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_batch is None:
+        if len(devices) % n_model:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_model="
+                f"{n_model} — a silent floor would idle "
+                f"{len(devices) % n_model} chip(s)")
         n_batch = len(devices) // n_model
+    if n_batch < 1 or n_batch * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_batch}x{n_model} needs {n_batch * n_model} devices, "
+            f"have {len(devices)}")
     use = np.array(devices[: n_batch * n_model]).reshape(n_batch, n_model)
     return Mesh(use, (BATCH_AXIS, MODEL_AXIS))
 
@@ -100,6 +111,7 @@ def make_sharded_ensemble_step(impl, mesh: Mesh):
     def wrapped(cfg, n_critic, states, real_stacks, keys):
         states = jax.tree.map(member_shard, states)
         real_stacks = member_shard(real_stacks)
+        keys = member_shard(keys)
         new_states, metrics = impl(cfg, n_critic, states, real_stacks, keys)
         new_states = jax.tree.map(member_shard, new_states)
         return new_states, metrics
@@ -109,7 +121,7 @@ def make_sharded_ensemble_step(impl, mesh: Mesh):
 
 def with_mesh_axes(gen_cfg, batch: bool = True, model: bool = False):
     """Return a copy of a GeneratorConfig with mesh sharding constraints
-    enabled."""
+    enabled (used by gan_common's --parallel mesh wiring)."""
     return dataclasses.replace(
         gen_cfg,
         mesh_axis=BATCH_AXIS if batch else None,

@@ -42,7 +42,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         from tcgan_tpu import parallel as par
 
         mesh = par.make_mesh()
-        gen_cfg = dataclasses.replace(gen_cfg, mesh_axis=par.BATCH_AXIS)
+        gen_cfg = par.with_mesh_axes(gen_cfg)
         step_impl = model.train_step_impl
         sharded = par.make_sharded_gan_step(step_impl, mesh)
         step_fn = sharded

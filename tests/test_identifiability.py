@@ -119,12 +119,17 @@ def test_identifiability_cli(tmp_path, capsys):
     rep = json.loads(out.read_text())
     assert len(rep["batteries"]) == 2
     b0, b1 = rep["batteries"]
-    for b in (b0, b1):
-        assert np.isfinite(b["sigma_min"]) and b["sigma_min"] > 0
-    # singular count = min(n_moments, 12): 2bw x 1c -> 4 moments; x 3c -> 12
-    assert len(b0["singular_values"]) == 4
+    # the spectrum always spans all 12 params (zero-padded past the moment
+    # count), so a moment-deficient battery shows its EXACT null space:
+    # 2bw x 1c -> 4 moments -> sigma_min is exactly 0, not the smallest of
+    # 4 row-space values (the pre-round-3 bug ranked such batteries as
+    # fully identifying)
+    assert len(b0["singular_values"]) == 12
     assert len(b1["singular_values"]) == 12
-    # richer battery: full 12-dim spectrum with a genuine spread
+    assert b0["sigma_min"] == 0.0
+    assert b0["condition_number"] > 1e100
+    # richer battery (2bw x 3c -> 12 moments): genuinely full rank
+    assert np.isfinite(b1["sigma_min"])
     assert b1["singular_values"][0] > b1["sigma_min"] > 0
     assert rep["analytic_dale_ridge"]["mean_strength"][0][0] > 0
     dec = b0["fit_decomposition"]

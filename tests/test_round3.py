@@ -520,3 +520,32 @@ def test_mat_loader_requires_unambiguous_variable(tmp_path):
     scipy.savemat(tmp_path / "ambig.mat", {"a": np.ones((1, 1)), "b": tc})
     with pytest.raises(ValueError):
         load_tuning_curves(tmp_path / "ambig.mat")
+
+
+def test_identifiability_report_sees_exact_null_space():
+    """A moment-deficient Jacobian (fewer moment rows than params) has an
+    EXACT null space; the report must show sigma_min = 0 and a ridge
+    direction inside it (reduced SVD hid both, ranking degenerate
+    batteries as well-conditioned)."""
+    from tcgan_tpu.analysis.identifiability import identifiability_report
+
+    rng = np.random.RandomState(0)
+    jac = rng.rand(5, 12)  # 5 moments, 12 params -> >= 7 null dims
+    rep = identifiability_report(jac)
+    assert len(rep["singular_values"]) == 12
+    assert rep["sigma_min"] == 0.0
+    assert rep["condition_number"] > 1e100  # effectively infinite
+    ridge = np.array(list(rep["ridge_direction"].values()))
+    np.testing.assert_allclose(jac @ ridge, 0.0, atol=1e-12)
+
+
+def test_make_mesh_validates_divisibility():
+    from tcgan_tpu import parallel as par
+
+    devs = (jax.devices("cpu") * 8)[:8]  # exactly-8-entry device list
+    with pytest.raises(ValueError):
+        par.make_mesh(n_model=3, devices=devs)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        par.make_mesh(n_model=16, devices=devs)  # zero-device mesh
+    with pytest.raises(ValueError):
+        par.make_mesh(n_batch=16, devices=devs)  # more than available
