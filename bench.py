@@ -32,10 +32,13 @@ def _probe_backend(timeout_s: float = 240.0, retries: int = 2) -> bool:
     init during a pool outage (observed 2026-08-17/18) — which would wedge
     the bench with no output at all. Probe in a killable subprocess first;
     on repeated failure the caller emits ONE honest error JSON line instead
-    of hanging. Returns True when backends initialize (TPU or CPU-only
-    dev box — both were previously supported paths)."""
+    of hanging. Returns (alive, error_message): alive=True when backends
+    initialize (TPU or CPU-only dev box — both supported paths); on
+    failure the message distinguishes a hung client (outage) from a
+    broken environment (captured stderr)."""
     import subprocess
 
+    last_err = "unknown"
     for attempt in range(retries + 1):
         try:
             r = subprocess.run(
@@ -43,39 +46,63 @@ def _probe_backend(timeout_s: float = 240.0, retries: int = 2) -> bool:
                  "import jax; print(jax.default_backend())"],
                 capture_output=True, timeout=timeout_s, text=True)
             if r.returncode == 0:
-                return True
+                return True, ""
+            # fast failure = a broken environment (ImportError etc.),
+            # NOT an outage — report the real cause, don't retry-sleep
+            # through it
+            return False, (f"backend init failed rc={r.returncode}: "
+                           f"{(r.stderr or '').strip()[-400:]}")
         except subprocess.TimeoutExpired:
-            pass
+            last_err = (f"client init hung past {timeout_s:.0f}s "
+                        "(pool outage?)")
         if attempt < retries:
             time.sleep(60.0)
-    return False
+    return False, last_err
+
+
+def _json_safe(obj):
+    """NaN/inf -> None recursively: bare NaN tokens are not valid JSON and
+    break every strict consumer of the bench's one output line."""
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and (obj != obj or obj in (float("inf"),
+                                                         float("-inf"))):
+        return None
+    return obj
 
 
 def main() -> int:
     import pathlib
 
-    if not _probe_backend():
+    alive, probe_err = _probe_backend()
+    if not alive:
         print(json.dumps({
             "metric": "ssn_fixed_point_solves_per_sec_per_chip",
             "value": 0.0,
             "unit": "solves/s",
             "vs_baseline": 0.0,
-            "error": ("TPU client init hung past the bounded probe "
-                      "(pool outage); see BENCH_r02.json for the last "
-                      "healthy-chip measurement"),
+            "error": (f"backend probe failed: {probe_err}; see "
+                      "BENCH_r02.json for the last healthy-chip "
+                      "measurement"),
         }))
         return 0
 
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: TPU compiles here go through a remote
-    # helper and can take minutes cold; the cache makes repeat runs fast.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache, TPU only: TPU compiles here go through a
+    # remote helper and can take minutes cold; the cache makes repeat runs
+    # fast. NOT on the CPU path — CPU AOT cache entries synced from a
+    # different host can carry machine-feature mismatches (potential
+    # SIGILL; same hazard dryrun_multichip documents).
+    if jax.default_backend() == "tpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tcgan_tpu.ops import fixed_point, native, stimulus, weights
     from tcgan_tpu.ops.pallas import solve_fixed_point_pallas
@@ -365,7 +392,10 @@ def main() -> int:
         cpu_threads = 0
 
     vs_baseline = rate_tpu / rate_cpu if rate_cpu == rate_cpu else float("nan")
-    vs_16core = (round(vs_baseline / 16.0, 2)
+    # rate_cpu already reflects cpu_threads OpenMP threads, so the
+    # 16-core-workstation estimate scales by threads/16 (dividing by 16
+    # unconditionally is only right on a 1-thread host)
+    vs_16core = (round(vs_baseline * max(cpu_threads, 1) / 16.0, 2)
                  if vs_baseline == vs_baseline else float("nan"))
     result = {
         "metric": "batched SSN fixed-point solves/sec/chip (N=51, 8-stim battery)",
@@ -416,7 +446,14 @@ def main() -> int:
             "mesh": mesh_section,
         },
     }
-    print(json.dumps(result))
+    if not parity_checked:
+        # parity_checked False means the gate RAN and FAILED — the rates
+        # above were measured on a kernel that no longer matches the
+        # reference; say so in the machine-readable line
+        result["error"] = ("kernel-vs-XLA parity FAILED on device — "
+                           "rates measured on a non-matching kernel "
+                           "(see stderr PARITY FAIL lines)")
+    print(json.dumps(_json_safe(result), allow_nan=False))
     return 0
 
 

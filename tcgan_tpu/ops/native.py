@@ -27,13 +27,19 @@ _load_error: str | None = None
 
 def _ensure_built() -> bool:
     global _load_error
-    if _LIB_PATH.exists():
-        return True
+    # Always invoke make (a fresh .so is a no-op thanks to the Makefile
+    # dependency on ssnode.cpp): an exists() shortcut would silently use
+    # a stale binary after a source edit, or a foreign-arch -march=native
+    # binary synced from another host (SIGILL inside ctypes).
     try:
         subprocess.run(["make", "-C", str(_CSRC)], check=True,
                        capture_output=True, text=True, timeout=300)
         return _LIB_PATH.exists()
     except Exception as e:  # pragma: no cover
+        if _LIB_PATH.exists():
+            # no toolchain but a binary is present (e.g. a deployment
+            # image without g++): use it rather than fail
+            return True
         _load_error = f"build failed: {e}"
         return False
 

@@ -111,6 +111,15 @@ class SSNConfig:
         if self.accel not in ("none", "anderson"):
             raise ValueError("accel must be 'none' or 'anderson'; "
                              f"got {self.accel!r}")
+        # asym_tanh saturates over the (soft, hard) band: a zero-width
+        # band divides by zero in both the JAX and C implementations
+        # (NaN rates that burn max_iter with flag 0)
+        if (self.io_type == "asym_tanh"
+                and not self.rate_hard_bound > self.rate_soft_bound):
+            raise ValueError(
+                "asym_tanh requires rate_hard_bound > rate_soft_bound; "
+                f"got soft={self.rate_soft_bound}, "
+                f"hard={self.rate_hard_bound}")
 
     @property
     def num_neurons(self) -> int:

@@ -277,3 +277,13 @@ def test_ssn_config_validates_accel_and_init():
     with pytest.raises(ValueError):
         SSNConfig(N=4, init="feedfoward")
     SSNConfig(N=4, accel="anderson", init="feedforward")  # valid spellings
+
+
+def test_asym_tanh_requires_saturation_band():
+    """Zero-width (soft, hard) band divides by zero in both the JAX and C
+    io implementations — must be rejected at config time."""
+    with pytest.raises(ValueError):
+        SSNConfig(N=4, io_type="asym_tanh", rate_soft_bound=100.0,
+                  rate_hard_bound=100.0)
+    SSNConfig(N=4, io_type="asym_tanh", rate_soft_bound=100.0,
+              rate_hard_bound=200.0)  # valid
