@@ -248,6 +248,29 @@ def add_data_flags(p: argparse.ArgumentParser):
                         "batteries; see BASELINE.md battery design)")
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for the CLI entry points, TPU only.
+
+    TPU compiles go through a remote helper and can take minutes cold;
+    the on-disk cache makes resumed/repeated runs start in seconds. NOT
+    enabled off-TPU: CPU AOT cache entries synced from another host can
+    carry machine-feature mismatches (potential SIGILL) — the hazard
+    __graft_entry__.dryrun_multichip documents."""
+    import pathlib
+
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 def explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
     """Dests of options explicitly present on the command line (vs taking
     their parser default). Used by eval-style tools that default-load the

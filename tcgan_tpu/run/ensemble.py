@@ -65,6 +65,7 @@ def main(argv=None) -> int:
     from tcgan_tpu.models import cwgan as cwgan_lib
     from tcgan_tpu.models import wgan as wgan_lib
 
+    common.enable_compile_cache()
     gen_cfg = common.generator_config_from_args(args, solver="ift")
     if args.record_every < 1:
         raise SystemExit("--record-every must be >= 1 (ensemble.csv IS "

@@ -96,6 +96,7 @@ def main(argv=None):
     overrides = []
     if not args.no_run_config:
         overrides = common.apply_run_config(args, parser, argv, args.run)
+    common.enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

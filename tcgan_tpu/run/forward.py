@@ -42,6 +42,7 @@ def main(argv=None):
     from tcgan_tpu.train.datastore import DataStore
     from tcgan_tpu.utils.stopwatch import StopWatch
 
+    common.enable_compile_cache()
     gen_cfg = common.generator_config_from_args(args, solver=args.solver)
     params = gen_lib.init_params(gen_cfg, common.as22(args.J),
                                  common.as22(args.D), common.as22(args.S))

@@ -24,6 +24,8 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
 
     import jax
 
+    common.enable_compile_cache()
+
     from tcgan_tpu.models import cwgan as cwgan_lib
     from tcgan_tpu.models import wgan as wgan_lib
     from tcgan_tpu.train.datastore import DataStore

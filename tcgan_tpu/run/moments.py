@@ -58,6 +58,7 @@ def main(argv=None):
     from tcgan_tpu.train.datastore import DataStore
     from tcgan_tpu.train.driver import DriverConfig, MomentMatchingDriver
 
+    common.enable_compile_cache()
     gen_cfg = common.generator_config_from_args(args, solver=args.solver)
 
     step_fn = mm_lib.train_step
