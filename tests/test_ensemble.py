@@ -13,6 +13,16 @@ from tcgan_tpu.models import wgan as wgan_lib
 
 from tests.test_wgan import TINY_GEN, tiny_wgan_cfg
 
+# shared tiny-battery CLI config for the end-to-end ensemble tests (one
+# place to change the test circuit; mirrors test_cli.py's TINY_GAN)
+TINY_CLI = [
+    "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+    "--J", "0.02", "0.016", "0.02", "0.012",
+    "--D", "0.05", "0.04", "0.05", "0.04",
+    "--S", "0.25", "0.1", "0.25", "0.1",
+    "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+]
+
 
 def test_ensemble_member_matches_single_fit():
     """A stacked K=1 ensemble step must reproduce the single train_step
@@ -78,11 +88,7 @@ def test_ensemble_cli_end_to_end(tmp_path):
     d = str(tmp_path / "ens")
     rc = ens_cli.main([
         "--datastore", d,
-        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
-        "--J", "0.02", "0.016", "0.02", "0.012",
-        "--D", "0.05", "0.04", "0.05", "0.04",
-        "--S", "0.25", "0.1", "0.25", "0.1",
-        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        *TINY_CLI,
         "--batch-size", "3", "--n-steps", "2",
         "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
         "--truth-samples", "8", "--disc-layers", "8",
@@ -146,11 +152,7 @@ def test_conditional_ensemble_cli(tmp_path):
     d = str(tmp_path / "cens")
     rc = ens_cli.main([
         "--datastore", d, "--conditional",
-        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
-        "--J", "0.02", "0.016", "0.02", "0.012",
-        "--D", "0.05", "0.04", "0.05", "0.04",
-        "--S", "0.25", "0.1", "0.25", "0.1",
-        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        *TINY_CLI,
         "--batch-size", "3", "--n-steps", "2",
         "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
         "--truth-samples", "8", "--disc-layers", "8",
@@ -164,7 +166,7 @@ def test_conditional_ensemble_cli(tmp_path):
     assert summary["n_members"] == 2
     for row in rows[1:]:
         vals = row.split(",")
-        assert all(v == v for v in map(float, vals[2:10]))  # finite
+        assert all(np.isfinite(v) for v in map(float, vals[2:10]))
 
 
 def test_ensemble_loader_and_view(tmp_path):
@@ -212,11 +214,7 @@ def test_ensemble_cli_resume(tmp_path):
     d = str(tmp_path / "ens_r")
     base = [
         "--datastore", d,
-        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
-        "--J", "0.02", "0.016", "0.02", "0.012",
-        "--D", "0.05", "0.04", "0.05", "0.04",
-        "--S", "0.25", "0.1", "0.25", "0.1",
-        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        *TINY_CLI,
         "--batch-size", "3", "--n-steps", "2",
         "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
         "--truth-samples", "8", "--disc-layers", "8",
@@ -270,11 +268,7 @@ def test_mm_ensemble_cli_end_to_end(tmp_path):
     d = str(tmp_path / "ensmm")
     rc = ens_cli.main([
         "--datastore", d,
-        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
-        "--J", "0.02", "0.016", "0.02", "0.012",
-        "--D", "0.05", "0.04", "0.05", "0.04",
-        "--S", "0.25", "0.1", "0.25", "0.1",
-        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        *TINY_CLI,
         "--batch-size", "4", "--n-steps", "2",
         "--truth-samples", "8",
         "--estimator", "mm", "--moment-ema", "0.9",

@@ -62,7 +62,7 @@ def test_moment_jacobian_matches_finite_differences():
     cfg = _tiny_cfg()
     jac, moments = ident.moment_jacobian(cfg, TRUE_J, TRUE_D, TRUE_S,
                                          n_circuits=16, seed=0)
-    assert jac.shape == (2 * len(moments) // 2, 12)
+    assert jac.shape == (len(moments), 12)
     assert np.all(np.isfinite(jac)) and np.any(jac != 0.0)
 
     # finite-difference check along two coordinate directions

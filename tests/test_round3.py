@@ -230,12 +230,19 @@ def test_normalize_input_mode_implies_normalization():
     a_none = p.parse_args(base)
     assert a_mode.normalize_input_mode == "std"
     assert a_none.normalize_input_mode is None  # default stays non-explicit
-    # the implication logic used by gan_common.run_gan / run.ensemble:
-    implied = (a_mode.normalize_input
-               or a_mode.normalize_input_mode is not None)
-    not_implied = (a_none.normalize_input
-                   or a_none.normalize_input_mode is not None)
-    assert implied and not not_implied
+    # exercise the PRODUCTION implication (common.critic_input_scales is
+    # the single place gan_common and run.ensemble route through)
+    from types import SimpleNamespace
+
+    from tcgan_tpu.run import common as run_common
+
+    gen = _gen_cfg()
+    ds = SimpleNamespace(tc=np.random.RandomState(0).rand(
+        16, gen.n_stim * gen.n_probe) + 0.5, num_samples=16)
+    scale, _ = run_common.critic_input_scales(a_mode, gen, ds, False)
+    assert a_mode.normalize_input is True and scale is not None
+    scale, _ = run_common.critic_input_scales(a_none, gen, ds, False)
+    assert a_none.normalize_input is False and scale is None
 
 
 def test_explicit_dests_matches_argparse_abbreviations():

@@ -300,12 +300,33 @@ def test_antithetic_sampling():
         bandwidths=(0.25, 1.0), contrasts=(5.0,), sample_sites=1,
         solver="ift", antithetic=True,
     )
+    import dataclasses
+
+    import jax.numpy as jnp
+
     params = gen_lib.init_params(cfg)
-    out = gen_lib.sample_tuning_curves(cfg, params, jax.random.PRNGKey(0), 8)
+    key = jax.random.PRNGKey(0)
+    out = gen_lib.sample_tuning_curves(cfg, params, key, 8)
     assert out.tc.shape[0] == 8
-    # reconstruct z the same way and check the pairing
-    z_half = weights.sample_z(jax.random.PRNGKey(0), (4,), cfg.ssn.N)
-    assert np.allclose(np.asarray(z_half), -np.asarray(-z_half))
+    # Behavioral pairing check: the antithetic output must equal a plain
+    # forward fed the explicitly mirrored z-set [z_half, -z_half] built
+    # from the SAME key (sample_tuning_curves passes its key straight to
+    # sample_z). Also assert the z-set's batch mean is exactly zero —
+    # the variance-reduction property the flag exists for.
+    z_half = weights.sample_z(key, (4,), cfg.ssn.N, dtype=cfg.dtype)
+    z_full = jnp.concatenate([z_half, -z_half], axis=0)
+    # zero up to f32 summation-order noise (z ~ O(1), mean over 8)
+    np.testing.assert_allclose(np.asarray(z_full).mean(axis=0), 0.0,
+                               atol=1e-6)
+    orig_sample_z = gen_lib.weights.sample_z
+    try:
+        gen_lib.weights.sample_z = lambda *a, **k: z_full
+        cfg_plain = dataclasses.replace(cfg, antithetic=False)
+        out_plain = gen_lib.sample_tuning_curves(cfg_plain, params, key, 8)
+    finally:
+        gen_lib.weights.sample_z = orig_sample_z
+    np.testing.assert_allclose(np.asarray(out.tc), np.asarray(out_plain.tc),
+                               rtol=0, atol=0)
     with pytest.raises(ValueError):
         gen_lib.sample_tuning_curves(cfg, params, jax.random.PRNGKey(0), 7)
 
