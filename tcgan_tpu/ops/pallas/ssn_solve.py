@@ -197,54 +197,63 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
               * active * (1.0 - resolved))
         return r_new + ok * (r_aa - r_new), s.r, f_cur
 
-    def make_loop(step_fn, atol, max_it):
+    def make_cond(max_it):
         def cond(s: S):
             n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
             return (s.it < max_it) & (n_resolved < R - 0.5)
 
+        return cond
+
+    def chunk_epilogue(s: S, r, delta, active, atol, max_it) -> S:
+        """Shared end-of-chunk bookkeeping for BOTH loop variants:
+        residual/peak reduction, convergence/divergence flag updates,
+        iteration accounting, and the Anderson hook. One implementation
+        so the resolved/iters/flag semantics cannot drift between the
+        plain and iterative-refinement loops."""
+        err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
+        peak = jnp.max(r, axis=-1, keepdims=True)
+        it_next = s.it + check_every
+        div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
+        conv_hit = jnp.where(err < atol, 1.0, 0.0)
+        newly_div = active * div_hit
+        newly_conv = active * (1.0 - div_hit) * conv_hit
+        resolved = newly_div + newly_conv
+        r_in_prev, f_prev = s.r_in_prev, s.f_prev
+        if accel:
+            r, r_in_prev, f_prev = apply_anderson(s, r, active, resolved)
+        return S(
+            it=it_next,
+            r=r,
+            conv=s.conv + newly_conv,
+            div=s.div + newly_div,
+            # clamp: the final chunk may overshoot max_it by up to
+            # check_every-1 substeps; recorded iters must never
+            # exceed the budget (iters == max_iter means unresolved)
+            iters=s.iters + resolved * (
+                jnp.minimum(it_next, max_it).astype(jnp.float32)
+                - s.iters
+            ),
+            nhist=s.nhist + 1.0,
+            r_in_prev=r_in_prev,
+            f_prev=f_prev,
+        )
+
+    def make_loop(step_fn, atol, max_it):
         def body(s: S):
             active = 1.0 - s.conv - s.div  # (R, 1)
             r = s.r
             for _ in range(check_every - 1):
                 r, _ = step_fn(r, active)
             r, delta = step_fn(r, active)
-            err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
-            peak = jnp.max(r, axis=-1, keepdims=True)
-            it_next = s.it + check_every
-            div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
-            conv_hit = jnp.where(err < atol, 1.0, 0.0)
-            newly_div = active * div_hit
-            newly_conv = active * (1.0 - div_hit) * conv_hit
-            resolved = newly_div + newly_conv
-            r_in_prev, f_prev = s.r_in_prev, s.f_prev
-            if accel:
-                r, r_in_prev, f_prev = apply_anderson(s, r, active, resolved)
-            return S(
-                it=it_next,
-                r=r,
-                conv=s.conv + newly_conv,
-                div=s.div + newly_div,
-                # clamp: the final chunk may overshoot max_it by up to
-                # check_every-1 substeps; recorded iters must never
-                # exceed the budget (iters == max_iter means unresolved)
-                iters=s.iters + resolved * (
-                    jnp.minimum(it_next, max_it).astype(jnp.float32)
-                    - s.iters
-                ),
-                nhist=s.nhist + 1.0,
-                r_in_prev=r_in_prev,
-                f_prev=f_prev,
-            )
+            return chunk_epilogue(s, r, delta, active, atol, max_it)
 
-        return cond, body
+        return make_cond(max_it), body
 
     def make_refine_loop(atol, max_it):
         """Phase-2 loop via iterative refinement (see docstring)."""
         drive_hi = make_drive(jax.lax.Precision.HIGHEST)
 
-        def cond(s: S):
-            n_resolved = jnp.sum(s.conv) + jnp.sum(s.div)
-            return (s.it < max_it) & (n_resolved < R - 0.5)
+        cond = make_cond(max_it)
 
         def body(s: S):
             active = 1.0 - s.conv - s.div  # (R, 1)
@@ -259,33 +268,7 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
                 e = jnp.minimum(e + active * (dtau * delta),
                                 r_ceiling - r_base)
             r = r_base + e
-            err = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)  # (R, 1)
-            peak = jnp.max(r, axis=-1, keepdims=True)
-            it_next = s.it + check_every
-            div_hit = jnp.where(peak > cfg.rate_stop_at, 1.0, 0.0)
-            conv_hit = jnp.where(err < atol, 1.0, 0.0)
-            newly_div = active * div_hit
-            newly_conv = active * (1.0 - div_hit) * conv_hit
-            resolved = newly_div + newly_conv
-            r_in_prev, f_prev = s.r_in_prev, s.f_prev
-            if accel:
-                r, r_in_prev, f_prev = apply_anderson(s, r, active, resolved)
-            return S(
-                it=it_next,
-                r=r,
-                conv=s.conv + newly_conv,
-                div=s.div + newly_div,
-                # clamp: the final chunk may overshoot max_it by up to
-                # check_every-1 substeps; recorded iters must never
-                # exceed the budget (iters == max_iter means unresolved)
-                iters=s.iters + resolved * (
-                    jnp.minimum(it_next, max_it).astype(jnp.float32)
-                    - s.iters
-                ),
-                nhist=s.nhist + 1.0,
-                r_in_prev=r_in_prev,
-                f_prev=f_prev,
-            )
+            return chunk_epilogue(s, r, delta, active, atol, max_it)
 
         return cond, body
 
