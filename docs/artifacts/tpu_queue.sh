@@ -3,24 +3,27 @@
 # axon chip serializes clients, so everything here runs strictly after
 # the flagship watcher/run pid exits).
 #
-# Queue (from the round plan):
-#   0. wait for the flagship rec13anchor2 (pid file /tmp/rec13anchor2.pid),
-#      stopping it early when the recovery gate is cleared (J<=7% AND
-#      D<=7% at step>=15000 — margin under the 10% VERDICT gate) or at
-#      the hard deadline STOP_AT (default 06:10 UTC, ~80 min before the
-#      round-3 driver bench at ~07:32).
-#   1. eval + fit_quality on runs/rec13anchor2 (params from generator.csv
-#      tail — robust to a SIGTERM'd run; no checkpoint required).
-#   2. mm13fix endpoint W1 eval (hybrid-vs-pure-mm comparison number).
-#   3. if >=100 min remain: multi-start mm ensemble on (5,10,13)
-#      (launch_mmens13.sh), bounded so it cannot collide with the driver.
+# Timeline logic (all UTC, defaults for the 2026-08-18 round-3 endgame;
+# override via env):
+#   STOP_AT   (06:10) — stop a RUNNING flagship here: leaves room for the
+#               full eval queue. A still-PROBING watcher is left alive —
+#               a late chip grant still buys a short flagship window.
+#   LAST_CALL (06:55) — absolute flagship stop (probing or running):
+#               whatever exists gets evaluated.
+#   END_AT    (07:18) — hard end for queue TPU work, with margin before
+#               the driver's round-end bench (~07:32) so it never queues
+#               behind us on the chip.
+# Gate-based early stop: J,D <= 7% over a 1000-step window past
+# GATE_STEP (default 15000) stops the flagship immediately.
 #
-# Every TPU step is `timeout`-bounded; if the chip never returns, each
-# step times out and the script exits without wedging anything.
+# Every TPU step is timeout-bounded by the time actually remaining; if
+# the chip never returns, each step times out and nothing wedges.
 set -u
 cd /root/repo
 PIDFILE=/tmp/rec13anchor2.pid
 STOP_AT=${STOP_AT:-$(date -u -d "2026-08-18 06:10" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-18 06:55" +%s)}
+END_AT=${END_AT:-$(date -u -d "2026-08-18 07:18" +%s)}
 export GATE_STEP=${GATE_STEP:-15000}
 
 gate_cleared() {
@@ -47,31 +50,37 @@ sys.exit(0 if ok else 1)
 EOF
 }
 
-echo "[queue] waiting on flagship (stop-at $(date -u -d @"$STOP_AT" +%H:%M) UTC)" >&2
+flagship_started() { [ -f runs/rec13anchor2/learning.csv ]; }
+
+stop_flagship() {
+  echo "[queue] $(date -u +%H:%M:%S) stopping flagship ($1)" >&2
+  kill "$(cat "$PIDFILE")" 2>/dev/null
+  sleep 30
+  kill -9 "$(cat "$PIDFILE")" 2>/dev/null
+}
+
+echo "[queue] waiting on flagship (run-stop $(date -u -d @"$STOP_AT" +%H:%M), last-call $(date -u -d @"$LAST_CALL" +%H:%M) UTC)" >&2
 while [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; do
   now=$(date -u +%s)
-  if [ "$now" -ge "$STOP_AT" ]; then
-    echo "[queue] $(date -u +%H:%M:%S) deadline: stopping flagship" >&2
-    kill "$(cat "$PIDFILE")" 2>/dev/null
-    sleep 30
-    kill -9 "$(cat "$PIDFILE")" 2>/dev/null
-    break
+  if [ "$now" -ge "$LAST_CALL" ]; then
+    stop_flagship "last call"; break
+  fi
+  if flagship_started && [ "$now" -ge "$STOP_AT" ]; then
+    stop_flagship "deadline"; break
   fi
   if gate_cleared; then
-    echo "[queue] $(date -u +%H:%M:%S) recovery gate cleared: stopping flagship" >&2
-    kill "$(cat "$PIDFILE")" 2>/dev/null
-    sleep 30
-    break
+    stop_flagship "recovery gate cleared"; break
   fi
   sleep 120
 done
 sleep 10
 
+left() { echo $(( END_AT - $(date -u +%s) )); }
 TRUTH="--true-J 0.045 0.04 0.05 0.035 --true-D 0.1 0.08 0.1 0.08 --true-S 0.25 0.1 0.25 0.1"
 
-if [ -f runs/rec13anchor2/generator.csv ]; then
-  echo "[queue] $(date -u +%H:%M:%S) eval rec13anchor2" >&2
-  timeout 1800 python -u -m tcgan_tpu.run.eval --run runs/rec13anchor2 \
+if flagship_started && [ "$(left)" -ge 420 ]; then
+  echo "[queue] $(date -u +%H:%M:%S) eval rec13anchor2 (bound $(left)s)" >&2
+  timeout "$(left)" python -u -m tcgan_tpu.run.eval --run runs/rec13anchor2 \
     --datastore runs/rec13anchor2_eval $TRUTH \
     --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
     --eval-samples 2048 --params-source csv \
@@ -85,18 +94,19 @@ if [ -f runs/rec13anchor2/generator.csv ]; then
   echo "[queue] fit_quality rc=$?" >&2
 fi
 
-echo "[queue] $(date -u +%H:%M:%S) mm13fix endpoint eval" >&2
-timeout 1800 python -u -m tcgan_tpu.run.eval --run runs/mm13fix \
-  --datastore runs/mm13fix_eval $TRUTH \
-  --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
-  --eval-samples 2048 --params-source csv \
-  > /tmp/mm13fix_eval.json 2>/tmp/mm13fix_eval.err
-echo "[queue] mm13fix eval rc=$?" >&2
+if [ "$(left)" -ge 420 ]; then
+  echo "[queue] $(date -u +%H:%M:%S) mm13fix endpoint eval (bound $(left)s)" >&2
+  timeout "$(left)" python -u -m tcgan_tpu.run.eval --run runs/mm13fix \
+    --datastore runs/mm13fix_eval $TRUTH \
+    --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
+    --eval-samples 2048 --params-source csv \
+    > /tmp/mm13fix_eval.json 2>/tmp/mm13fix_eval.err
+  echo "[queue] mm13fix eval rc=$?" >&2
+fi
 
-now=$(date -u +%s); left=$(( STOP_AT + 4800 - now ))
-if [ "$left" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
-  echo "[queue] $(date -u +%H:%M:%S) launching mmens13 (bound $((left-1200))s)" >&2
-  timeout $((left - 1800)) bash docs/artifacts/launch_mmens13.sh \
+if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
+  echo "[queue] $(date -u +%H:%M:%S) launching mmens13 (bound $(($(left) - 600))s)" >&2
+  timeout "$(($(left) - 600))" bash docs/artifacts/launch_mmens13.sh \
     > /tmp/mmens13.log 2>&1
   echo "[queue] mmens13 rc=$?" >&2
   # host-side post-processing (no TPU): seed spread vs the identifiability
