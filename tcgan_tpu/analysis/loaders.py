@@ -84,6 +84,31 @@ def load_run(path: str | Path) -> RunRecord:
     )
 
 
+def fitted_params(run_dir: str | Path, source: str = "csv",
+                  rec: RunRecord | None = None) -> Dict[str, np.ndarray]:
+    """Endpoint generator params {"J","D","S"} (2x2, value space).
+
+    ``source``: "csv" = final generator.csv row; "npz" = the
+    disc_params.npz export; "npz_ema" = its EMA-averaged J_ema/D_ema/S_ema
+    entries (requires a run trained with --gen-ema). One implementation
+    shared by run.eval and analysis.uncertainty so the two always agree
+    on what "the fit" is."""
+    if source == "csv":
+        if rec is None:
+            rec = load_run(run_dir)
+        return rec.final_gen_params()
+    npz = np.load(Path(run_dir) / "disc_params.npz")
+    suffix = "_ema" if source == "npz_ema" else ""
+    missing = [f"{n}{suffix}" for n in "JDS"
+               if f"{n}{suffix}" not in npz.files]
+    if missing:
+        raise SystemExit(
+            f"disc_params.npz lacks {missing} — run with --gen-ema to "
+            "export EMA params" if suffix else
+            f"disc_params.npz lacks {missing}")
+    return {n: np.asarray(npz[f"{n}{suffix}"]) for n in "JDS"}
+
+
 @dataclasses.dataclass
 class EnsembleRecord:
     """A loaded ensemble run directory (tcgan_tpu.run.ensemble)."""

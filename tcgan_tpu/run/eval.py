@@ -101,6 +101,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tcgan_tpu.analysis import load_run
+    from tcgan_tpu.analysis.loaders import fitted_params
     from tcgan_tpu.analysis.metrics import (
         param_recovery_error, sliced_w1, tc_w1,
     )
@@ -108,21 +109,8 @@ def main(argv=None):
 
     gen_cfg = common.generator_config_from_args(args, solver="ift")
     rec = load_run(args.run)
-    if args.params_source == "csv":
-        fitted = rec.final_gen_params()  # {"J","D","S"} 2x2 value-space
-    else:
-        import pathlib
-
-        npz = np.load(pathlib.Path(args.run) / "disc_params.npz")
-        suffix = "_ema" if args.params_source == "npz_ema" else ""
-        missing = [f"{n}{suffix}" for n in "JDS"
-                   if f"{n}{suffix}" not in npz.files]
-        if missing:
-            raise SystemExit(
-                f"disc_params.npz lacks {missing} — run with --gen-ema to "
-                "export EMA params" if suffix else
-                f"disc_params.npz lacks {missing}")
-        fitted = {n: np.asarray(npz[f"{n}{suffix}"]) for n in "JDS"}
+    # {"J","D","S"} 2x2 value-space
+    fitted = fitted_params(args.run, args.params_source, rec=rec)
     params = gen_lib.init_params(
         gen_cfg, tuple(map(tuple, fitted["J"])),
         tuple(map(tuple, fitted["D"])), tuple(map(tuple, fitted["S"])),
