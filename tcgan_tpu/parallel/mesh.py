@@ -71,10 +71,20 @@ def make_sharded_gan_step(impl, mesh: Mesh):
     """
     repl = _replicated(mesh)
     data_sh = NamedSharding(mesh, P(None, BATCH_AXIS))
+
+    def wrapped(cfg, n_critic, state, real_stack, key):
+        # Constrain the data batch INSIDE the jitted program instead of via
+        # in_shardings: the CLI sampler materializes the stack under the
+        # run's jax.set_mesh context, so it arrives as a COMMITTED
+        # replicated array, and jit refuses to silently reshard committed
+        # args to a mismatched in_sharding. with_sharding_constraint is a
+        # resharding, so it accepts any incoming layout.
+        real_stack = jax.lax.with_sharding_constraint(real_stack, data_sh)
+        return impl(cfg, n_critic, state, real_stack, key)
+
     return jax.jit(
-        impl,
+        wrapped,
         static_argnames=("cfg", "n_critic"),
-        in_shardings=(repl, data_sh, repl),
         out_shardings=(repl, repl),
     )
 

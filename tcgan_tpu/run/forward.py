@@ -28,7 +28,12 @@ def make_parser() -> argparse.ArgumentParser:
     common.add_stimulus_flags(p)
     common.add_run_flags(p)
     p.add_argument("--batch-size", type=int, default=32,
-                   help="number of sampled circuits")
+                   help="number of sampled circuits per solver batch")
+    p.add_argument("--total-samples", type=int, default=0,
+                   help="serving/data-generation mode: loop the jitted "
+                        "batch until this many circuits are generated "
+                        "(rounded up to a --batch-size multiple; 0 = one "
+                        "batch). Composes with --parallel mesh.")
     p.add_argument("--solver", choices=("ift", "bptt"), default="ift",
                    help="fixed-point while_loop vs fixed-length Euler scan")
     return p
@@ -36,6 +41,9 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    import contextlib
+    import math
+
     import jax
 
     from tcgan_tpu.models import generator as gen_lib
@@ -44,43 +52,78 @@ def main(argv=None):
 
     common.enable_compile_cache()
     gen_cfg = common.generator_config_from_args(args, solver=args.solver)
-    params = gen_lib.init_params(gen_cfg, common.as22(args.J),
-                                 common.as22(args.D), common.as22(args.S))
-    store = DataStore(args.datastore)
-    store.write_info({"entry": "forward", **vars(args)})
 
-    watch = StopWatch()
-    fwd = jax.jit(lambda k: gen_lib.sample_tuning_curves(
-        gen_cfg, params, k, args.batch_size))
-    key = jax.random.PRNGKey(args.seed)
-    with watch.time("compile+solve"):
-        out = fwd(key)
-        jax.block_until_ready(out.tc)
-    with watch.time("solve"):
-        out = fwd(jax.random.split(key)[0])
-        jax.block_until_ready(out.tc)
+    mesh_cm = None
+    n_devices = 1
+    if args.parallel == "mesh":
+        from tcgan_tpu import parallel as par
 
-    tc = np.asarray(out.tc)
-    np.savez(
-        store.file("tuning_curves.npz"),
-        tuning_curves=tc,
-        rates=np.asarray(out.rates),
-        converged=np.asarray(out.converged),
-        diverged=np.asarray(out.diverged),
-        iters=np.asarray(out.iters),
-    )
-    summary = {
-        "n_samples": int(tc.shape[0]),
-        "tc_dim": int(tc.shape[1]),
-        "frac_converged": float(np.asarray(out.converged).mean()),
-        "frac_diverged": float(np.asarray(out.diverged).mean()),
-        "mean_iters": float(np.asarray(out.iters).mean()),
-        "solve_seconds": watch.last("solve"),
-        "compile_plus_solve_seconds": watch.last("compile+solve"),
-    }
-    store.finalize("finished", {"summary": summary})
-    print(json.dumps(summary))
-    return 0
+        mesh = par.make_mesh()
+        n_devices = int(mesh.devices.size)
+        gen_cfg = par.with_mesh_axes(gen_cfg)
+        mesh_cm = jax.set_mesh(mesh)  # bare-P constraints need the context
+
+    with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
+        params = gen_lib.init_params(gen_cfg, common.as22(args.J),
+                                     common.as22(args.D), common.as22(args.S))
+        store = DataStore(args.datastore)
+        store.write_info({"entry": "forward", **vars(args)})
+
+        watch = StopWatch()
+        fwd = jax.jit(lambda k: gen_lib.sample_tuning_curves(
+            gen_cfg, params, k, args.batch_size))
+        n_batches = max(1, math.ceil((args.total_samples or args.batch_size)
+                                     / args.batch_size))
+        keys = jax.random.split(jax.random.PRNGKey(args.seed),
+                                max(n_batches, 2))
+        with watch.time("compile+solve"):
+            out0 = fwd(keys[0])
+            jax.block_until_ready(out0.tc)
+        if n_batches == 1:
+            # single-batch mode: re-solve once so "solve" is compile-free
+            with watch.time("solve"):
+                outs = [fwd(keys[1])]
+                jax.block_until_ready(outs[0].tc)
+            batches_timed = 1
+        else:
+            # serving mode: the compile batch is kept as data; throughput
+            # is measured over the remaining compile-free batches
+            outs = [out0]
+            with watch.time("solve"):
+                for k in keys[1:n_batches]:
+                    outs.append(fwd(k))
+                jax.block_until_ready(outs[-1].tc)
+            batches_timed = n_batches - 1
+
+        cat = (lambda name: np.concatenate(
+            [np.asarray(getattr(o, name)) for o in outs], axis=0))
+        tc, converged, diverged, iters = (cat(n) for n in (
+            "tc", "converged", "diverged", "iters"))
+        np.savez(
+            store.file("tuning_curves.npz"),
+            tuning_curves=tc,
+            rates=cat("rates"),
+            converged=converged,
+            diverged=diverged,
+            iters=iters,
+        )
+        solve_s = max(watch.last("solve"), 1e-9)
+        summary = {
+            "n_samples": int(tc.shape[0]),
+            "tc_dim": int(tc.shape[1]),
+            "n_devices": n_devices,
+            "frac_converged": float(converged.mean()),
+            "frac_diverged": float(diverged.mean()),
+            "mean_iters": float(iters.mean()),
+            "solve_seconds": watch.last("solve"),
+            "compile_plus_solve_seconds": watch.last("compile+solve"),
+            "circuits_per_sec": batches_timed * args.batch_size / solve_s,
+            "stim_solves_per_sec": (batches_timed * args.batch_size
+                                    * gen_cfg.n_stim / solve_s),
+        }
+        store.finalize("finished", {"summary": summary})
+        print(json.dumps(summary))
+        return 0
 
 
 if __name__ == "__main__":

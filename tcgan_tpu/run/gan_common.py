@@ -20,6 +20,7 @@ def make_gan_parser(doc: str) -> argparse.ArgumentParser:
 
 
 def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
+    import contextlib
     import dataclasses
 
     import jax
@@ -28,8 +29,6 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
 
     from tcgan_tpu.models import cwgan as cwgan_lib
     from tcgan_tpu.models import wgan as wgan_lib
-    from tcgan_tpu.train.datastore import DataStore
-    from tcgan_tpu.train.driver import DriverConfig, GANDriver
 
     gen_cfg = common.generator_config_from_args(args, solver=solver)
     if getattr(args, "bptt_checkpoint_chunk", 0):
@@ -40,6 +39,7 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
     mk_cfg = cwgan_lib.CWGANConfig if conditional else wgan_lib.WGANConfig
 
     step_fn = model.train_step
+    mesh_cm = None
     if args.parallel == "mesh":
         from tcgan_tpu import parallel as par
 
@@ -48,6 +48,26 @@ def run_gan(args, solver: Literal["ift", "bptt"], conditional: bool) -> int:
         step_impl = model.train_step_impl
         sharded = par.make_sharded_gan_step(step_impl, mesh)
         step_fn = sharded
+        # The generator's internal sharding constraints are bare
+        # PartitionSpecs, which resolve only inside a mesh context — and
+        # fake-truth generation below runs the SAME constrained gen_cfg,
+        # so the context must span the whole run, not just train steps
+        # (the ensemble CLI sets the precedent).
+        mesh_cm = jax.set_mesh(mesh)
+
+    with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
+        return _run_gan_body(args, solver, conditional, gen_cfg, model,
+                             mk_cfg, step_fn)
+
+
+def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
+                  step_fn) -> int:
+    import dataclasses
+
+    import jax
+
+    from tcgan_tpu.train.datastore import DataStore
+    from tcgan_tpu.train.driver import DriverConfig, GANDriver
 
     # Real data first (also needed for the input-normalization scale).
     data_gen_cfg = gen_cfg

@@ -52,22 +52,37 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    import contextlib
+
+    import jax
+
     args = make_parser().parse_args(argv)
 
     from tcgan_tpu.models import moments as mm_lib
-    from tcgan_tpu.train.datastore import DataStore
-    from tcgan_tpu.train.driver import DriverConfig, MomentMatchingDriver
 
     common.enable_compile_cache()
     gen_cfg = common.generator_config_from_args(args, solver=args.solver)
 
     step_fn = mm_lib.train_step
+    mesh_cm = None
     if args.parallel == "mesh":
         from tcgan_tpu import parallel as par
 
         mesh = par.make_mesh()
         gen_cfg = dataclasses.replace(gen_cfg, mesh_axis=par.BATCH_AXIS)
         step_fn = par.make_sharded_mm_step(mm_lib.train_step_impl, mesh)
+        # Bare-PartitionSpec constraints in the generator need a mesh
+        # context, and fake-truth generation uses the same constrained
+        # gen_cfg — span the whole run (see run_gan / run.ensemble).
+        mesh_cm = jax.set_mesh(mesh)
+
+    with mesh_cm if mesh_cm is not None else contextlib.nullcontext():
+        return _main_body(args, gen_cfg, step_fn, mm_lib)
+
+
+def _main_body(args, gen_cfg, step_fn, mm_lib) -> int:
+    from tcgan_tpu.train.datastore import DataStore
+    from tcgan_tpu.train.driver import DriverConfig, MomentMatchingDriver
 
     cfg = mm_lib.MomentMatchingConfig(
         gen=gen_cfg,

@@ -58,6 +58,23 @@ def test_forward_cli_end_to_end(tmp_path):
     assert info["status"] == "finished"
 
 
+def test_forward_cli_serving_mode(tmp_path):
+    """--total-samples loops jitted batches (rounded up to a batch
+    multiple) and --parallel mesh shards them; throughput is reported."""
+    rc = forward.main(TINY + [
+        "--datastore", str(tmp_path / "fwd"), "--batch-size", "8",
+        "--total-samples", "20", "--parallel", "mesh",
+    ])
+    assert rc == 0
+    data = np.load(tmp_path / "fwd" / "tuning_curves.npz")
+    assert data["tuning_curves"].shape[0] == 24  # ceil(20/8) batches
+    assert data["converged"].shape[0] == 24
+    info = json.loads((tmp_path / "fwd" / "info.json").read_text())
+    summary = info["summary"]
+    assert summary["n_devices"] == 8
+    assert summary["stim_solves_per_sec"] > 0
+
+
 def test_gan_cli_end_to_end(tmp_path):
     rc = gan.main(TINY_GAN + ["--datastore", str(tmp_path / "g")])
     assert rc == 0

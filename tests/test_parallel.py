@@ -145,3 +145,31 @@ def test_sharded_mm_step_runs():
         jax.block_until_ready(m)
     assert np.isfinite(float(m.loss))
     assert int(new_state.step) == 1
+
+
+def test_mesh_cli_paths_end_to_end(tmp_path):
+    """--parallel mesh through the REAL CLIs. The library-level tests above
+    enter jax.set_mesh themselves, which masked two CLI-wiring bugs: bare
+    PartitionSpec constraints outside any mesh context, and committed
+    replicated sampler outputs rejected by the data in_sharding (regression:
+    round-3)."""
+    from tcgan_tpu.run import gan, moments
+
+    base = [
+        "--N", "6", "--max-iter", "1500", "--atol", "1e-5",
+        "--J", "0.02", "0.016", "0.02", "0.012",
+        "--D", "0.05", "0.04", "0.05", "0.04",
+        "--S", "0.25", "0.1", "0.25", "0.1",
+        "--contrasts", "5", "--bandwidths", "0.25", "1.0",
+        "--batch-size", "8", "--parallel", "mesh", "--truth-samples", "8",
+    ]
+    rc = moments.main(base + ["--n-steps", "2",
+                              "--datastore", str(tmp_path / "mm")])
+    assert rc == 0
+    rc = gan.main(base + [
+        "--n-steps", "2", "--WGAN_n_critic", "2", "--WGAN_n_critic0", "2",
+        "--disc-layers", "8", "--datastore", str(tmp_path / "g"),
+    ])
+    assert rc == 0
+    lines = (tmp_path / "g" / "learning.csv").read_text().strip().split("\n")
+    assert len(lines) == 3  # header + 2 steps
