@@ -1,7 +1,7 @@
 # Build tooling (reference parity: the upstream root Makefile that built the
 # C solver and ran tests — SURVEY.md §2 "Build tooling").
 
-.PHONY: all lib test test-all bench clean
+.PHONY: all lib test test-all bench docs clean
 
 all: lib
 
@@ -17,6 +17,10 @@ test-all: lib
 
 bench: lib
 	python bench.py
+
+# regenerate docs/cli_reference.md from the live argparse parsers
+docs:
+	python -m tcgan_tpu.utils.cli_docs
 
 clean:
 	$(MAKE) -C csrc clean

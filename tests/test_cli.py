@@ -198,3 +198,15 @@ def test_bptt_wgan_cli_end_to_end(tmp_path):
     assert np.isfinite(float(row["d_loss"]))
     assert np.isfinite(float(row["g_loss"]))
     assert float(row["frac_converged"]) > 0.9
+
+
+def test_cli_reference_docs_fresh():
+    """docs/cli_reference.md is generated from the live parsers; a flag
+    change without `make docs` fails here instead of silently drifting."""
+    from pathlib import Path
+
+    from tcgan_tpu.utils import cli_docs
+
+    path = Path(__file__).resolve().parents[1] / "docs" / "cli_reference.md"
+    assert path.read_text() == cli_docs.render(), (
+        "docs/cli_reference.md is stale — run `make docs`")
