@@ -32,6 +32,7 @@ ENTRY_POINTS = (
     ("tcgan_tpu.analysis.compare", "multi-run comparison"),
     ("tcgan_tpu.analysis.fit_quality", "one-page fit report figure"),
     ("tcgan_tpu.analysis.ensemble_view", "ensemble spread vs spectrum"),
+    ("tcgan_tpu.analysis.report", "one-command markdown run report"),
 )
 
 

@@ -124,3 +124,31 @@ def test_fit_quality_cli(tmp_path, capsys):
     assert np.isfinite(out["tc_w1"]) and np.isfinite(out["sliced_w1"])
     assert np.isfinite(out["subspace"]["identifiable_error"])
     assert out["subspace"]["n_identifiable"] <= 12
+
+
+def test_report_cli(tmp_path, capsys):
+    """The markdown run report renders recovery vs info.json truth, the
+    training-health table, an embedded eval JSON, and the 10% gate
+    verdict."""
+    from tcgan_tpu.analysis import report
+
+    d = _fake_run(tmp_path, "rep", 0.05)
+    (d / "info.json").write_text(json.dumps({
+        "config": {"entry": "wgan", "N": 17, "batch_size": 8,
+                   "true_J": [0.05, 0.05, 0.05, 0.05],
+                   "true_D": [0.1, 0.1, 0.1, 0.1],
+                   "true_S": [0.1, 0.1, 0.1, 0.1], "dataset": None}}))
+    ev = tmp_path / "rep_eval.json"
+    ev.write_text(json.dumps({"tc_w1": 0.0123, "n_samples": 99}))
+    out_md = tmp_path / "rep.md"
+    rc = report.main([str(d), "-o", str(out_md), "--eval-json", str(ev)])
+    assert rc == 0
+    text = out_md.read_text()
+    # fixture: J fitted == truth exactly; D fitted 0.1 == truth -> recovered
+    assert "**recovered** (all blocks" in text
+    assert "| J_EE | 0.05 | 0.05 | 0.0% |" in text
+    assert "## Training health" in text and "| critic loss (d_loss) |" in text
+    assert "| tc_w1 | 0.0123 |" in text
+    assert "learning.csv" in text  # artifact inventory
+    # missing run dir is a clean error, not a traceback
+    assert report.main([str(tmp_path / "nope")]) == 2
