@@ -30,7 +30,9 @@ from typing import Dict, Optional
 import numpy as np
 
 from tcgan_tpu.analysis.fit_quality import true_params_from_info
-from tcgan_tpu.analysis.loaders import RunRecord, load_run
+from tcgan_tpu.analysis.loaders import (
+    EnsembleRecord, RunRecord, load_ensemble, load_run,
+)
 from tcgan_tpu.analysis.metrics import param_recovery_error
 
 _POPS = ("E", "I")
@@ -193,6 +195,72 @@ def render_report(rec: RunRecord, eval_json: Optional[Path] = None) -> str:
     return "\n".join(parts)
 
 
+def render_ensemble_report(rec: EnsembleRecord) -> str:
+    """Markdown report for a multi-start ensemble datastore
+    (tcgan_tpu.run.ensemble): per-member endpoints + recovery errors and
+    the across-member spread — the multi-start consistency check that
+    ``ensemble_view`` plots, as a table."""
+    cfg = rec.info.get("config", {})
+    hl = _config_highlights(cfg)
+    lines = [
+        f"# Ensemble report: `{rec.path}`",
+        "",
+        f"Estimator: **{cfg.get('estimator', cfg.get('entry', '?'))}** · "
+        f"{rec.n_members} members · generated by "
+        "`tcgan_tpu.analysis.report`.",
+        "",
+        "## Config highlights",
+        "",
+        "| knob | value |",
+        "|---|---|",
+        *[f"| {k} | {v} |" for k, v in hl.items()],
+        "",
+        "## Members",
+        "",
+    ]
+    members = rec.summary.get("members", [])
+    if members:
+        has_err = "recovery_error" in members[0]
+        head = "| member | steps |" + (
+            " J err | D err | S err | worst |" if has_err else "")
+        lines += [head, "|---|---|" + ("---|" * 4 if has_err else "")]
+        for m, row in enumerate(members):
+            steps = rec.member_steps(m)
+            cells = [str(m), str(int(steps[-1]) if steps.size else 0)]
+            if has_err:
+                err = row["recovery_error"]
+                worst = max(err.values())
+                cells += [f"{err[k] * 100:.1f}%" for k in "JDS"]
+                cells += [f"**{worst * 100:.1f}%**"]
+            lines.append("| " + " | ".join(cells) + " |")
+        if has_err:
+            worsts = [max(r["recovery_error"].values()) for r in members]
+            n_ok = sum(w <= 0.10 for w in worsts)
+            lines += ["", f"Members recovered at the 10% gate: "
+                          f"**{n_ok}/{len(members)}** "
+                          f"(median worst-block error "
+                          f"{np.median(worsts) * 100:.1f}%)."]
+    else:
+        lines.append("No ensemble_summary.json — member table unavailable "
+                     "(aborted run?); see ensemble.csv for trajectories.")
+    std = rec.summary.get("std")
+    if std:
+        lines += ["", "## Across-member spread (seed std)", "",
+                  "| block | std (2x2, row-major) |", "|---|---|"]
+        for k in "JDS":
+            flat = np.asarray(std[k]).ravel()
+            lines.append(
+                f"| {k} | {', '.join(_fmt(v, 3) for v in flat)} |")
+        lines += ["", "Spread maps the identifiability spectrum's flat "
+                      "subspace, not noise — compare with "
+                      "`analysis.ensemble_view --jacobian` "
+                      "(BASELINE.md, ens_ridge)."]
+    lines += ["", "## Artifacts", "",
+              *[f"- `{p.name}` ({p.stat().st_size:,} B)"
+                for p in sorted(rec.path.iterdir()) if p.is_file()], ""]
+    return "\n".join(lines)
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tcgan_tpu.analysis.report", description=__doc__,
@@ -211,9 +279,12 @@ def main(argv=None) -> int:
     if not run_dir.is_dir():
         print(f"report: no such run directory: {run_dir}", file=sys.stderr)
         return 2
-    rec = load_run(run_dir)
-    text = render_report(
-        rec, Path(args.eval_json) if args.eval_json else None)
+    if (run_dir / "ensemble.csv").exists():
+        text = render_ensemble_report(load_ensemble(run_dir))
+    else:
+        text = render_report(
+            load_run(run_dir),
+            Path(args.eval_json) if args.eval_json else None)
     out = Path(args.out) if args.out else run_dir / "report.md"
     out.write_text(text)
     print(f"wrote {out}")

@@ -152,3 +152,38 @@ def test_report_cli(tmp_path, capsys):
     assert "learning.csv" in text  # artifact inventory
     # missing run dir is a clean error, not a traceback
     assert report.main([str(tmp_path / "nope")]) == 2
+
+
+def test_report_ensemble(tmp_path):
+    """report auto-detects an ensemble datastore and renders the member
+    recovery table, the 10% gate tally, and the seed-spread table."""
+    from tcgan_tpu.analysis import report
+
+    d = tmp_path / "ens"
+    d.mkdir()
+    (d / "info.json").write_text(json.dumps({
+        "config": {"estimator": "mm", "N": 17}}))
+    cols = ["member", "step"] + [f"{n}_{a}{b}" for n in "JDS"
+                                 for a in "EI" for b in "EI"]
+    rows = [",".join(cols)]
+    for m in range(2):
+        for s in range(3):
+            rows.append(",".join([str(m), str(s)] + ["0.05"] * 12))
+    (d / "ensemble.csv").write_text("\n".join(rows) + "\n")
+    members = [
+        {"J": [[0.05] * 2] * 2, "D": [[0.1] * 2] * 2, "S": [[0.1] * 2] * 2,
+         "recovery_error": {"J": 0.02, "D": 0.05, "S": 0.01}},
+        {"J": [[0.08] * 2] * 2, "D": [[0.1] * 2] * 2, "S": [[0.1] * 2] * 2,
+         "recovery_error": {"J": 0.60, "D": 0.05, "S": 0.01}},
+    ]
+    (d / "ensemble_summary.json").write_text(json.dumps({
+        "n_members": 2, "members": members,
+        "mean": {k: [[0.1] * 2] * 2 for k in "JDS"},
+        "std": {k: [[0.01] * 2] * 2 for k in "JDS"}}))
+    out_md = tmp_path / "ens.md"
+    assert report.main([str(d), "-o", str(out_md)]) == 0
+    text = out_md.read_text()
+    assert "# Ensemble report" in text
+    assert "| 0 | 2 | 2.0% | 5.0% | 1.0% | **5.0%** |" in text
+    assert "Members recovered at the 10% gate: **1/2**" in text
+    assert "## Across-member spread" in text
