@@ -20,7 +20,7 @@ The training schedule, losses, and optimizers are shared with
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

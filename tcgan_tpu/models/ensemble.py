@@ -17,7 +17,7 @@ streams. Members share the static config.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,6 @@ NaN-poison the batch gradient.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

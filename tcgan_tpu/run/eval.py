@@ -98,7 +98,6 @@ def main(argv=None):
         overrides = common.apply_run_config(args, parser, argv, args.run)
     common.enable_compile_cache()
     import jax
-    import jax.numpy as jnp
 
     from tcgan_tpu.analysis import load_run
     from tcgan_tpu.analysis.loaders import fitted_params

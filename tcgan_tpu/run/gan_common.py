@@ -109,8 +109,6 @@ def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
     )
 
     if conditional:
-        import jax.numpy as jnp
-
         from tcgan_tpu.models.cwgan import tag_with_conditions
 
         raw = dataset.tc.reshape(dataset.num_samples, cfg.gen.n_stim,
