@@ -1,0 +1,113 @@
+"""Recovery-gate check: has a run held J/D within a tolerance of truth?
+
+Exit-code CLI for unattended chip-time orchestration (the pattern behind
+``docs/artifacts/tpu_queue.sh`` / ``flagship_watchdog.sh``, whose first
+versions embedded this logic as inline python): exit 0 when the run's
+generator trajectory has BOTH J and D mean-relative errors at or below
+``--gate`` across a trailing window past ``--min-step``, exit 1
+otherwise (including "run too short" and "no generator.csv"). The
+windowed check (three samples spanning ``--window`` steps) means a
+single transient dip cannot stop a science run early.
+
+Truth defaults to the run's own info.json (``true_J/true_D``); flags
+override. Host-side CSV reading only — safe against a live run.
+
+Usage:
+    python -m tcgan_tpu.analysis.recovery_gate RUNDIR [--gate 0.07]
+        [--min-step 15000] [--window 1000] [--true-J a b c d]
+        [--true-D a b c d] [--quiet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tcgan_tpu.analysis.fit_quality import true_params_from_info
+from tcgan_tpu.analysis.loaders import load_run
+
+
+def gate_status(run_dir, true_J, true_D, gate: float,
+                min_step: int, window: int) -> dict:
+    """Evaluate the gate; returns a status dict with ``cleared: bool``."""
+    rec = load_run(run_dir)
+    gen = rec.generator
+    if not gen or "step" not in gen:
+        return {"cleared": False, "reason": "no generator.csv"}
+    steps = gen["step"]
+    n = steps.size
+    if n < window + 1:
+        return {"cleared": False,
+                "reason": f"only {n} rows (< window+1 = {window + 1})"}
+    J = np.stack([gen[f"J_{a}{b}"] for a in "EI" for b in "EI"], axis=1)
+    D = np.stack([gen[f"D_{a}{b}"] for a in "EI" for b in "EI"], axis=1)
+    tJ = np.asarray(true_J, dtype=np.float64).ravel()
+    tD = np.asarray(true_D, dtype=np.float64).ravel()
+    idx = [n - window - 1, n - window // 2 - 1, n - 1]
+    jerr = np.abs(J[idx] / tJ - 1).mean(axis=1)
+    derr = np.abs(D[idx] / tD - 1).mean(axis=1)
+    out = {
+        "step": int(steps[-1]),
+        "window_steps": [int(steps[i]) for i in idx],
+        "j_err": [float(e) for e in jerr],
+        "d_err": [float(e) for e in derr],
+        "gate": gate,
+    }
+    if steps[idx[0]] < min_step:
+        out.update(cleared=False,
+                   reason=f"window starts before min-step {min_step}")
+        return out
+    cleared = bool((jerr <= gate).all() and (derr <= gate).all())
+    out.update(cleared=cleared,
+               reason="gate held across window" if cleared
+                      else "errors above gate in window")
+    return out
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tcgan_tpu.analysis.recovery_gate", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("run", help="run datastore directory")
+    p.add_argument("--gate", type=float, default=0.07,
+                   help="max mean-relative J and D error (default 0.07)")
+    p.add_argument("--min-step", type=int, default=15000,
+                   help="gate cannot clear before this step")
+    p.add_argument("--window", type=int, default=1000,
+                   help="trailing rows the gate must hold across")
+    p.add_argument("--true-J", type=float, nargs=4, default=None,
+                   help="override truth (default: run's info.json)")
+    p.add_argument("--true-D", type=float, nargs=4, default=None)
+    p.add_argument("--quiet", action="store_true",
+                   help="no JSON output, exit code only")
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    run_dir = Path(args.run)
+    true_J, true_D = args.true_J, args.true_D
+    if true_J is None or true_D is None:
+        info_file = run_dir / "info.json"
+        info = (json.loads(info_file.read_text())
+                if info_file.exists() else {})
+        tp = true_params_from_info(info)
+        if tp is None:
+            print("recovery_gate: no truth (real-data run and no "
+                  "--true-J/--true-D)", file=sys.stderr)
+            return 2
+        true_J = tp["J"] if true_J is None else true_J
+        true_D = tp["D"] if true_D is None else true_D
+    status = gate_status(run_dir, true_J, true_D, args.gate,
+                         args.min_step, args.window)
+    if not args.quiet:
+        print(json.dumps(status))
+    return 0 if status["cleared"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

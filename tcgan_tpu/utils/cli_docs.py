@@ -33,6 +33,8 @@ ENTRY_POINTS = (
     ("tcgan_tpu.analysis.fit_quality", "one-page fit report figure"),
     ("tcgan_tpu.analysis.ensemble_view", "ensemble spread vs spectrum"),
     ("tcgan_tpu.analysis.report", "one-command markdown run report"),
+    ("tcgan_tpu.analysis.recovery_gate",
+     "exit-code recovery gate for unattended orchestration"),
 )
 
 

@@ -187,3 +187,47 @@ def test_report_ensemble(tmp_path):
     assert "| 0 | 2 | 2.0% | 5.0% | 1.0% | **5.0%** |" in text
     assert "Members recovered at the 10% gate: **1/2**" in text
     assert "## Across-member spread" in text
+
+
+def test_recovery_gate(tmp_path, capsys):
+    """The gate clears only when BOTH J and D hold within tolerance across
+    the whole trailing window past min-step; truth defaults to the run's
+    info.json."""
+    from tcgan_tpu.analysis import recovery_gate
+
+    d = tmp_path / "gate"
+    d.mkdir()
+    (d / "info.json").write_text(json.dumps({
+        "config": {"true_J": [0.05] * 4, "true_D": [0.1] * 4,
+                   "true_S": [0.1] * 4, "dataset": None}}))
+    cols = ["step"] + [f"{n}_{a}{b}" for n in "JDS"
+                       for a in "EI" for b in "EI"]
+
+    def write_csv(j_tail, n_rows=30):
+        rows = [",".join(cols)]
+        for s in range(n_rows):
+            j = 0.08 if s < n_rows - 12 else j_tail  # last 12 rows = window
+            rows.append(",".join([str(s * 100)] + [str(j)] * 4
+                                 + ["0.1"] * 8))
+        (d / "generator.csv").write_text("\n".join(rows) + "\n")
+
+    args = [str(d), "--window", "10", "--min-step", "1000"]
+    # J holds at truth across the window -> cleared (D always at truth)
+    write_csv(0.05)
+    assert recovery_gate.main(args) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["cleared"] and max(out["j_err"]) <= 1e-12
+    # J 60% off across the window -> not cleared
+    write_csv(0.08)
+    assert recovery_gate.main(args) == 1
+    # window reaching before min-step -> not cleared even at truth
+    write_csv(0.05)
+    assert recovery_gate.main([str(d), "--window", "10",
+                               "--min-step", "999999"]) == 1
+    # run shorter than the window -> not cleared
+    write_csv(0.05, n_rows=5)
+    assert recovery_gate.main(args) == 1
+    # truth override beats info.json: truth J=0.08 makes the 0.08 tail pass
+    write_csv(0.08)
+    assert recovery_gate.main(args + ["--true-J", "0.08", "0.08",
+                                      "0.08", "0.08"]) == 0
