@@ -139,6 +139,44 @@ def main() -> int:
     jax.block_until_ready(res.r)  # compile + warmup
     frac_conv = float(res.converged.mean())
 
+    # Contention guard (VERDICT r3 weak #2: BENCH_r03's wgan_step_ms was
+    # 66% inflated because the flagship training run held the same chip).
+    # Two independent signals, either one stamps contended=true:
+    #  1. a live pid in a known orchestration pidfile (/tmp/*.pid written
+    #     by the launch/watchdog scripts) — direct, this sandbox's own
+    #     runs are the only realistic contender;
+    #  2. per-rep timing spread of the headline solve — a time-sliced
+    #     chip shows erratic per-call latency (idle-chip spread measured
+    #     at a few %; contended spread >>1.4x).
+    def _contention():
+        import glob
+        import os
+
+        pids = []
+        for pf in glob.glob("/tmp/*.pid"):
+            try:
+                pid = int(open(pf).read().strip())
+                cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
+            except (ValueError, OSError):
+                continue
+            # only python processes can hold the chip — the watchdog/queue
+            # shell loops also write pidfiles but never touch the device
+            if pid != os.getpid() and b"python" in cmdline:
+                pids.append(f"{os.path.basename(pf)}:{pid}")
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(solve(W).r)
+            times.append(time.perf_counter() - t0)
+        spread = max(times) / max(min(times), 1e-9)
+        return {
+            "contended": bool(pids) or spread > 1.4,
+            "live_run_pidfiles": pids,
+            "headline_rep_spread": round(spread, 3),
+        }
+
+    contention = _contention()
+
     # On-device kernel-vs-XLA parity gate (VERDICT r1: the Mosaic lowering
     # must be exercised on the real hardware, not only in interpret mode) —
     # all kernel variants on a small batch against the lockstep XLA solver.
@@ -175,11 +213,15 @@ def main() -> int:
 
     parity_checked = _parity()
 
-    t0 = time.perf_counter()
+    # Median of per-rep times (not the mean of one block): robust to a
+    # single contended/slow rep, so back-to-back bench runs agree ±10%.
+    rep_times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         res = solve(W)
-    jax.block_until_ready(res.r)
-    t_tpu = (time.perf_counter() - t0) / REPS
+        jax.block_until_ready(res.r)
+        rep_times.append(time.perf_counter() - t0)
+    t_tpu = float(np.median(rep_times))
     rate_tpu = B_TPU * S_cond / t_tpu
 
     # Capability extra (not the headline, which stays algorithm-identical
@@ -322,13 +364,21 @@ def main() -> int:
         t = (time.perf_counter() - t0) / REPS
         total = B_TPU * n_dev * S_cond / t
         per_chip = total / n_dev
-        return {
+        out = {
             "n_devices": n_dev,
             "rate_total": round(total, 1),
             "rate_per_chip": round(per_chip, 1),
-            "scaling_efficiency": round(per_chip / rate_tpu, 3),
             "frac_converged": round(float(r.converged.mean()), 4),
         }
+        # On one device the ratio measures shard_map dispatch overhead,
+        # NOT scaling — label it honestly so a cold reader of this JSON
+        # never quotes a 1-chip number as "91% scaling" (VERDICT r3
+        # weak #4).
+        if n_dev > 1:
+            out["scaling_efficiency"] = round(per_chip / rate_tpu, 3)
+        else:
+            out["overhead_vs_unsharded"] = round(per_chip / rate_tpu, 3)
+        return out
 
     try:
         mesh_section = _mesh_rate()
@@ -378,17 +428,29 @@ def main() -> int:
         wgan_step_ms = float("nan")
 
     # CPU baseline (reference-equivalent float64 OpenMP solver).
+    # Median of 5 repeats with host load recorded: this rate is the
+    # denominator of the repo's most-quoted ratio, and a single unpinned
+    # measurement moved 213 -> 277 solves/s between rounds (VERDICT r3
+    # weak #3), silently wobbling the headline by 25%.
     if native.available():
+        import os
+
         Wn = np.asarray(W[:B_CPU], dtype=np.float64)
         In = np.asarray(I_ext, dtype=np.float64)
         native.solve_fixed_point_native(cfg, Wn[:2], In)  # warm
-        t0 = time.perf_counter()
-        nres = native.solve_fixed_point_native(cfg, Wn, In)
-        t_cpu = time.perf_counter() - t0
-        rate_cpu = B_CPU * S_cond / t_cpu
+        cpu_times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            native.solve_fixed_point_native(cfg, Wn, In)
+            cpu_times.append(time.perf_counter() - t0)
+        rate_cpu = B_CPU * S_cond / float(np.median(cpu_times))
+        cpu_spread = round(max(cpu_times) / max(min(cpu_times), 1e-9), 3)
+        cpu_load1 = round(os.getloadavg()[0], 2)
         cpu_threads = native.num_threads()
     else:  # pragma: no cover
         rate_cpu = float("nan")
+        cpu_spread = float("nan")
+        cpu_load1 = float("nan")
         cpu_threads = 0
 
     vs_baseline = rate_tpu / rate_cpu if rate_cpu == rate_cpu else float("nan")
@@ -407,7 +469,11 @@ def main() -> int:
         "vs_baseline_16core_est": vs_16core,
         "detail": {
             "tpu_rate": round(rate_tpu, 1),
+            **contention,
             "cpu_rate": round(rate_cpu, 1),
+            "cpu_rate_note": "median of 5 repeats",
+            "cpu_rep_spread": cpu_spread,
+            "cpu_loadavg1": cpu_load1,
             "cpu_threads": cpu_threads,
             "cpu_note": (
                 "cpu_rate uses the OpenMP threads available on this host "
@@ -435,7 +501,11 @@ def main() -> int:
                 "production (5,10,13)-contrast battery, M=24 stim rows/"
                 "circuit: the M=8 headline is weight-load bound (~6-8% MXU "
                 "by shape; BASELINE.md round-3 roofline), so utilization "
-                "scales with battery size at near-constant substep cost"
+                "scales with battery size at near-constant substep cost. "
+                "NOT comparable to kernel_probe_results.json's ~857k: that "
+                "probe replicates one easy bandwidth (roughly 1/4 the "
+                "Euler iterations of this near-critical battery), so its "
+                "rate is a bandwidth ceiling, not a production number"
             ),
             "tpu_rate_expo_stepper": round(rate_expo, 1),
             "expo_frac_converged": round(expo_conv, 4),
