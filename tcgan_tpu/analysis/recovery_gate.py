@@ -40,14 +40,21 @@ def gate_status(run_dir, true_J, true_D, gate: float,
         return {"cleared": False, "reason": "no generator.csv"}
     steps = gen["step"]
     n = steps.size
-    if n < window + 1:
+    # --window is in STEPS, converted to row indices via the actual step
+    # column (generator.csv happens to record every step today, but the
+    # gate must not silently cover window*cadence steps if the recorder
+    # cadence is ever thinned — ADVICE r3 #5).
+    i0 = int(np.searchsorted(steps, steps[-1] - window))
+    if i0 >= n - 1 or steps[-1] - steps[i0] < window:
         return {"cleared": False,
-                "reason": f"only {n} rows (< window+1 = {window + 1})"}
+                "reason": (f"trajectory too short: rows cover "
+                           f"{int(steps[-1] - steps[0])} steps, window "
+                           f"needs {window} past min-step")}
     J = np.stack([gen[f"J_{a}{b}"] for a in "EI" for b in "EI"], axis=1)
     D = np.stack([gen[f"D_{a}{b}"] for a in "EI" for b in "EI"], axis=1)
     tJ = np.asarray(true_J, dtype=np.float64).ravel()
     tD = np.asarray(true_D, dtype=np.float64).ravel()
-    idx = [n - window - 1, n - window // 2 - 1, n - 1]
+    idx = [i0, (i0 + n - 1) // 2, n - 1]
     jerr = np.abs(J[idx] / tJ - 1).mean(axis=1)
     derr = np.abs(D[idx] / tD - 1).mean(axis=1)
     out = {
@@ -78,7 +85,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-step", type=int, default=15000,
                    help="gate cannot clear before this step")
     p.add_argument("--window", type=int, default=1000,
-                   help="trailing rows the gate must hold across")
+                   help="trailing STEPS the gate must hold across "
+                        "(converted to rows via the step column, so a "
+                        "thinned recorder cadence cannot shrink it)")
     p.add_argument("--true-J", type=float, nargs=4, default=None,
                    help="override truth (default: run's info.json)")
     p.add_argument("--true-D", type=float, nargs=4, default=None)
@@ -95,11 +104,19 @@ def main(argv=None) -> int:
         info_file = run_dir / "info.json"
         info = (json.loads(info_file.read_text())
                 if info_file.exists() else {})
-        tp = true_params_from_info(info)
-        if tp is None:
-            print("recovery_gate: no truth (real-data run and no "
-                  "--true-J/--true-D)", file=sys.stderr)
+        cfg = info.get("config", info)
+        # Require the run's config to actually RECORD its truth: the
+        # library-level DEFAULT_J/D fallback in true_params_from_info is
+        # wrong for any run that used different truth, and an unattended
+        # orchestrator acting on it would stop (or never stop) a science
+        # run against parameters the run never used (ADVICE r3 #3).
+        if (true_params_from_info(info) is None
+                or not cfg.get("true_J") or not cfg.get("true_D")):
+            print("recovery_gate: run config records no true_J/true_D "
+                  "(real-data run, or truth left at library defaults) — "
+                  "pass --true-J/--true-D explicitly", file=sys.stderr)
             return 2
+        tp = true_params_from_info(info)
         true_J = tp["J"] if true_J is None else true_J
         true_D = tp["D"] if true_D is None else true_D
     status = gate_status(run_dir, true_J, true_D, args.gate,

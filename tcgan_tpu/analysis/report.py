@@ -220,7 +220,10 @@ def render_ensemble_report(rec: EnsembleRecord) -> str:
     ]
     members = rec.summary.get("members", [])
     if members:
-        has_err = "recovery_error" in members[0]
+        # ANY member may lack recovery_error (e.g. it aborted mid-write);
+        # degrade that ROW to em-dashes instead of raising KeyError on
+        # the whole report (ADVICE r3 #4)
+        has_err = any("recovery_error" in m for m in members)
         head = "| member | steps |" + (
             " J err | D err | S err | worst |" if has_err else "")
         lines += [head, "|---|---|" + ("---|" * 4 if has_err else "")]
@@ -228,13 +231,17 @@ def render_ensemble_report(rec: EnsembleRecord) -> str:
             steps = rec.member_steps(m)
             cells = [str(m), str(int(steps[-1]) if steps.size else 0)]
             if has_err:
-                err = row["recovery_error"]
-                worst = max(err.values())
-                cells += [f"{err[k] * 100:.1f}%" for k in "JDS"]
-                cells += [f"**{worst * 100:.1f}%**"]
+                err = row.get("recovery_error")
+                if err:
+                    worst = max(err.values())
+                    cells += [f"{err[k] * 100:.1f}%" for k in "JDS"]
+                    cells += [f"**{worst * 100:.1f}%**"]
+                else:
+                    cells += ["—"] * 4
             lines.append("| " + " | ".join(cells) + " |")
         if has_err:
-            worsts = [max(r["recovery_error"].values()) for r in members]
+            worsts = [max(r["recovery_error"].values()) for r in members
+                      if r.get("recovery_error")]
             n_ok = sum(w <= 0.10 for w in worsts)
             lines += ["", f"Members recovered at the 10% gate: "
                           f"**{n_ok}/{len(members)}** "

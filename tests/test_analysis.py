@@ -188,11 +188,25 @@ def test_report_ensemble(tmp_path):
     assert "Members recovered at the 10% gate: **1/2**" in text
     assert "## Across-member spread" in text
 
+    # a member that aborted mid-write (no recovery_error) degrades to an
+    # em-dash row instead of KeyError-ing the whole report (ADVICE r3 #4)
+    del members[1]["recovery_error"]
+    (d / "ensemble_summary.json").write_text(json.dumps({
+        "n_members": 2, "members": members,
+        "mean": {k: [[0.1] * 2] * 2 for k in "JDS"},
+        "std": {k: [[0.01] * 2] * 2 for k in "JDS"}}))
+    assert report.main([str(d), "-o", str(out_md)]) == 0
+    text = out_md.read_text()
+    assert "| 0 | 2 | 2.0% | 5.0% | 1.0% | **5.0%** |" in text
+    assert "| 1 | 2 | — | — | — | — |" in text
+    assert "Members recovered at the 10% gate: **1/2**" in text
+
 
 def test_recovery_gate(tmp_path, capsys):
     """The gate clears only when BOTH J and D hold within tolerance across
     the whole trailing window past min-step; truth defaults to the run's
-    info.json."""
+    info.json. --window is in STEPS regardless of recorder cadence
+    (rows here are 100 steps apart)."""
     from tcgan_tpu.analysis import recovery_gate
 
     d = tmp_path / "gate"
@@ -203,16 +217,17 @@ def test_recovery_gate(tmp_path, capsys):
     cols = ["step"] + [f"{n}_{a}{b}" for n in "JDS"
                        for a in "EI" for b in "EI"]
 
-    def write_csv(j_tail, n_rows=30):
+    def write_csv(j_tail, n_rows=30, tail_rows=12):
         rows = [",".join(cols)]
         for s in range(n_rows):
-            j = 0.08 if s < n_rows - 12 else j_tail  # last 12 rows = window
+            j = 0.08 if s < n_rows - tail_rows else j_tail
             rows.append(",".join([str(s * 100)] + [str(j)] * 4
                                  + ["0.1"] * 8))
         (d / "generator.csv").write_text("\n".join(rows) + "\n")
 
-    args = [str(d), "--window", "10", "--min-step", "1000"]
-    # J holds at truth across the window -> cleared (D always at truth)
+    args = [str(d), "--window", "1000", "--min-step", "1000"]
+    # J holds at truth across the window (last 12 rows = 1100 steps at
+    # cadence 100 > the 1000-step window) -> cleared (D always at truth)
     write_csv(0.05)
     assert recovery_gate.main(args) == 0
     out = json.loads(capsys.readouterr().out)
@@ -220,9 +235,18 @@ def test_recovery_gate(tmp_path, capsys):
     # J 60% off across the window -> not cleared
     write_csv(0.08)
     assert recovery_gate.main(args) == 1
+    # window is steps, not rows: truth held for only 6 rows = 500 steps
+    # of the 1000-step window -> the window must reach back into the bad
+    # region and fail (a rows-based window of 1000 would also fail here,
+    # but a rows-based window of 10 — the old unit — would pass)
+    write_csv(0.05, tail_rows=6)
+    assert recovery_gate.main([str(d), "--window", "1000",
+                               "--min-step", "100"]) == 1
+    assert recovery_gate.main([str(d), "--window", "400",
+                               "--min-step", "100"]) == 0
     # window reaching before min-step -> not cleared even at truth
     write_csv(0.05)
-    assert recovery_gate.main([str(d), "--window", "10",
+    assert recovery_gate.main([str(d), "--window", "1000",
                                "--min-step", "999999"]) == 1
     # run shorter than the window -> not cleared
     write_csv(0.05, n_rows=5)
@@ -231,3 +255,12 @@ def test_recovery_gate(tmp_path, capsys):
     write_csv(0.08)
     assert recovery_gate.main(args + ["--true-J", "0.08", "0.08",
                                       "0.08", "0.08"]) == 0
+    # a config that never recorded its truth must exit 2, not silently
+    # gate against library defaults (ADVICE r3 #3)
+    (d / "info.json").write_text(json.dumps({"config": {"dataset": None}}))
+    capsys.readouterr()
+    assert recovery_gate.main(args) == 2
+    # ... but explicit flags still work on such a run
+    assert recovery_gate.main(args + ["--true-J", "0.08", "0.08", "0.08",
+                                      "0.08", "--true-D", "0.1", "0.1",
+                                      "0.1", "0.1"]) == 0
