@@ -264,3 +264,28 @@ def test_recovery_gate(tmp_path, capsys):
     assert recovery_gate.main(args + ["--true-J", "0.08", "0.08", "0.08",
                                       "0.08", "--true-D", "0.1", "0.1",
                                       "0.1", "0.1"]) == 0
+
+
+def test_ensemble_view_handles_mm_columns(tmp_path):
+    """ensemble_view must render moment-matching ensembles (loss/mean_err
+    columns), not just the WGAN column set (was: KeyError 'd_loss')."""
+    import csv as csv_mod
+
+    from tcgan_tpu.analysis import ensemble_view
+    from tcgan_tpu.analysis.loaders import load_ensemble
+
+    cols = (["step", "member", "loss", "mean_err", "cov_err",
+             "rate_penalty", "frac_converged", "frac_diverged", "train_time"]
+            + [f"{blk}_{a}{b}" for blk in ("J", "D", "S")
+               for a in "EI" for b in "EI"])
+    with open(tmp_path / "ensemble.csv", "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(cols)
+        for m in range(2):
+            for step in (0, 1, 2):
+                w.writerow([step, m, 1.0 / (step + 1), 0.1, 0.2, 0.0,
+                            1.0, 0.0, 0.01] + [0.05] * 12)
+    rec = load_ensemble(tmp_path)
+    summary = ensemble_view.plot_ensemble(rec, str(tmp_path / "e.png"))
+    assert summary["n_members"] == 2
+    assert (tmp_path / "e.png").exists()

@@ -210,3 +210,160 @@ def test_cli_reference_docs_fresh():
     path = Path(__file__).resolve().parents[1] / "docs" / "cli_reference.md"
     assert path.read_text() == cli_docs.render(), (
         "docs/cli_reference.md is stale — run `make docs`")
+
+
+def test_eval_reads_run_config(tmp_path):
+    """apply_run_config overlays info.json values; explicit flags win and
+    are reported as overrides."""
+    import argparse
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "info.json").write_text(json.dumps({"config": {
+        "N": 17, "contrasts": [5.0, 10.0, 13.0], "sample_sites": 4,
+        "include_inhibitory_neurons": True, "true_J": [1, 2, 3, 4],
+    }}))
+    p = argparse.ArgumentParser()
+    common.add_ssn_flags(p)
+    common.add_stimulus_flags(p)
+    common.add_data_flags(p)
+    argv = ["--sample-sites", "2"]
+    args = p.parse_args(argv)
+    notices = common.apply_run_config(args, p, argv, run)
+    assert args.N == 17
+    assert args.contrasts == [5.0, 10.0, 13.0]
+    assert args.include_inhibitory_neurons is True
+    assert args.true_J == [1, 2, 3, 4]
+    assert args.sample_sites == 2  # explicit flag wins ...
+    assert len(notices) == 1 and "sample-sites" in notices[0]  # ... loudly
+
+
+def test_normalize_input_mode_implies_normalization():
+    """An explicit --normalize-input-mode must imply --normalize-input:
+    passing a mode without the switch silently ran UNNORMALIZED before
+    round 3 (the footgun that nearly shipped an unwhitened flagship run).
+    Checked at the parser level (default None = not explicit) and at the
+    scale-computation level in gan_common/ensemble."""
+    from types import SimpleNamespace
+
+    from tcgan_tpu.run.gan_common import make_gan_parser
+    from tests.test_wgan import small_gen_cfg
+
+    p = make_gan_parser("x")
+    base = ("--datastore /tmp/x --N 8 --batch-size 4 "
+            "--J .045 .04 .05 .035 --D .1 .08 .1 .08 "
+            "--S .25 .1 .25 .1").split()
+    a_mode = p.parse_args(base + ["--normalize-input-mode", "std"])
+    a_none = p.parse_args(base)
+    assert a_mode.normalize_input_mode == "std"
+    assert a_none.normalize_input_mode is None  # default stays non-explicit
+    # exercise the PRODUCTION implication (common.critic_input_scales is
+    # the single place gan_common and run.ensemble route through)
+    gen = small_gen_cfg()
+    ds = SimpleNamespace(tc=np.random.RandomState(0).rand(
+        16, gen.n_stim * gen.n_probe) + 0.5, num_samples=16)
+    scale, _ = common.critic_input_scales(a_mode, gen, ds, False)
+    assert a_mode.normalize_input is True and scale is not None
+    scale, _ = common.critic_input_scales(a_none, gen, ds, False)
+    assert a_none.normalize_input is False and scale is None
+
+
+def test_explicit_dests_matches_argparse_abbreviations():
+    """argparse allows unambiguous prefix abbreviations (--bandwidth for
+    --bandwidths), so explicit_dests must mark those dests explicit too —
+    otherwise eval's apply_run_config silently overwrites the user's typed
+    value with the run's recorded config. Ambiguous prefixes (--contrast
+    matches both --contrasts and --contrast-weights) are rejected by
+    argparse itself, so explicit_dests marks nothing for them."""
+    from tcgan_tpu.run.gan_common import make_gan_parser
+
+    p = make_gan_parser("x")
+    dests = common.explicit_dests(
+        p, ["--bandwidth", "0.25", "1.0", "--normalize-input"])
+    assert "bandwidths" in dests  # abbreviation resolved
+    assert "normalize_input" in dests  # exact match still works
+    assert "contrasts" not in dests
+    # ambiguous prefix: argparse would error; mark nothing rather than guess
+    dests = common.explicit_dests(p, ["--contrast", "5", "10"])
+    assert "contrasts" not in dests and "contrast_weights" not in dests
+    # '=' form
+    dests = common.explicit_dests(p, ["--batch-size=8"])
+    assert "batch_size" in dests
+
+
+def test_critic_input_scales_shared_helper():
+    """The scale helper shared by gan_common and run.ensemble: an explicit
+    mode implies normalization, per-condition scaling requires a
+    conditional run (SystemExit otherwise), and the conditional
+    per-condition path returns S*P + 2 scales (probe block + tag)."""
+    from types import SimpleNamespace
+
+    from tests.test_wgan import small_gen_cfg
+
+    gen = small_gen_cfg()
+    S, P = gen.n_stim, gen.n_probe
+    rng = np.random.RandomState(0)
+    ds = SimpleNamespace(tc=rng.rand(32, S * P) + 0.5, num_samples=32)
+
+    args = SimpleNamespace(normalize_input=False, normalize_input_mode="std",
+                           normalize_per_condition=None)
+    scale, cond_scale = common.critic_input_scales(args, gen, ds, False)
+    assert args.normalize_input is True  # mode implies the switch
+    assert scale is not None and len(scale) == S * P
+    assert cond_scale is None
+
+    args = SimpleNamespace(normalize_input=False, normalize_input_mode=None,
+                           normalize_per_condition="std")
+    with pytest.raises(SystemExit):
+        common.critic_input_scales(args, gen, ds, False)  # unconditional
+
+    scale, cond_scale = common.critic_input_scales(args, gen, ds, True)
+    assert scale is None
+    assert cond_scale is not None and len(cond_scale) == S * P + 2
+
+
+def test_real_data_path_end_to_end(tmp_path):
+    """The reference's reason to exist: fit MEASURED tuning curves from a
+    file (SURVEY.md §2 "Data loading / truth generation"). Chain: a .npz
+    dataset -> train `run.gan --dataset` -> `run.eval` WITHOUT truth
+    (W1-family metrics only, no recovery errors) -> markdown report that
+    degrades gracefully with no true_J/true_D. Every fit before round 4
+    was fake-truth; a schema mismatch or an eval-without-truth crash in
+    this path would otherwise surface only the day someone brings real
+    data (VERDICT r3 missing #4)."""
+    from tcgan_tpu.analysis import report
+
+    # (a) "measured" tuning curves: a forward sweep saved to .npz — the
+    # same file format a user would convert their recordings into
+    data_dir = tmp_path / "data"
+    rc = forward.main(TINY + ["--datastore", str(data_dir),
+                              "--batch-size", "32"])
+    assert rc == 0
+    dataset = data_dir / "tuning_curves.npz"
+
+    # (b) train from the file: no --true-* flags anywhere
+    run_dir = tmp_path / "fit"
+    rc = gan.main(TINY_GAN + ["--datastore", str(run_dir),
+                              "--dataset", str(dataset)])
+    assert rc == 0
+    assert (run_dir / "learning.csv").read_text().count("\n") >= 2
+    info = json.loads((run_dir / "info.json").read_text())
+    assert info["config"]["dataset"] == str(dataset)
+
+    # (c) eval against the same file, truth unknown: W1 metrics come back,
+    # recovery errors must be absent rather than wrong
+    eval_dir = tmp_path / "fit_eval"
+    rc = eval_cli.main(["--run", str(run_dir), "--dataset", str(dataset),
+                        "--datastore", str(eval_dir),
+                        "--eval-samples", "16"])
+    assert rc == 0
+    res = json.loads((eval_dir / "info.json").read_text())["result"]
+    assert np.isfinite(res["tc_w1"]) and np.isfinite(res["sliced_w1"])
+    assert "param_recovery_error" not in res
+    assert (eval_dir / "eval_tuning_curves.npz").exists()
+
+    # (d) report renders without truth: no recovery table, no crash
+    out_md = tmp_path / "fit.md"
+    assert report.main([str(run_dir), "-o", str(out_md)]) == 0
+    text = out_md.read_text()
+    assert "recovery" not in text.lower() or "no ground truth" in text.lower()

@@ -45,3 +45,20 @@ def test_unsupported_suffix_raises(tmp_path):
     p.write_text("1,2\n")
     with pytest.raises(ValueError):
         load_tuning_curves(p)
+
+
+def test_mat_loader_requires_unambiguous_variable(tmp_path):
+    scipy = pytest.importorskip("scipy.io")
+
+    tc = np.arange(12.0).reshape(3, 4)
+    # named key wins even among several variables
+    scipy.savemat(tmp_path / "named.mat", {"meta": np.ones((1, 1)),
+                                           "tuning_curves": tc})
+    np.testing.assert_allclose(load_tuning_curves(tmp_path / "named.mat"), tc)
+    # single unnamed variable is unambiguous
+    scipy.savemat(tmp_path / "single.mat", {"whatever": tc})
+    np.testing.assert_allclose(load_tuning_curves(tmp_path / "single.mat"), tc)
+    # several unnamed variables: refuse rather than guess
+    scipy.savemat(tmp_path / "ambig.mat", {"a": np.ones((1, 1)), "b": tc})
+    with pytest.raises(ValueError):
+        load_tuning_curves(tmp_path / "ambig.mat")

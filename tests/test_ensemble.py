@@ -286,3 +286,55 @@ def test_mm_ensemble_cli_end_to_end(tmp_path):
     info = json.loads(open(f"{d}/info.json").read())
     assert info["status"] == "finished"
     assert info["config"]["entry"] == "ensemble_mm"
+
+
+def test_mm_ensemble_members_get_distinct_fixed_z_keys():
+    """Under fixed_z every ensemble member must carry its OWN CRN z-set;
+    a shared PRNGKey(seed) would turn the z-set's Monte-Carlo error into
+    a common bias invisible to the member spread."""
+    from tcgan_tpu.models import moments as mm_lib
+    from tests.test_wgan import small_gen_cfg
+
+    cfg = mm_lib.MomentMatchingConfig(gen=small_gen_cfg(), batch_size=4,
+                                      fixed_z=True)
+    states = ens_lib.init_mm_ensemble(cfg, 4, jax.random.PRNGKey(0),
+                                      start_jitter=0.05)
+    zk = np.asarray(states.z_key)
+    assert zk.shape[0] == 4
+    assert len({tuple(row) for row in zk.reshape(4, -1)}) == 4
+
+
+def test_ensemble_member0_ema_params_reset():
+    """With start_jitter, member 0 keeps the exact requested start in its
+    parameter-EMA buffer too (init seeds the EMA from the jittered
+    params)."""
+    from tests.test_wgan import small_gen_cfg
+
+    cfg = wgan_lib.WGANConfig(gen=small_gen_cfg(), batch_size=4,
+                              critic_layers=(8,), ema_decay=0.99)
+    base = jax.tree.map(jnp.asarray, gen_lib.init_params(cfg.gen))
+    states = ens_lib.init_ensemble(cfg, 3, jax.random.PRNGKey(1),
+                                   gen_init=base, start_jitter=0.1)
+    for leaf_s, leaf_b in zip(jax.tree.leaves(states.ema_params),
+                              jax.tree.leaves(base)):
+        np.testing.assert_allclose(np.asarray(leaf_s[0]), np.asarray(leaf_b))
+        assert not np.allclose(np.asarray(leaf_s[1]), np.asarray(leaf_b))
+
+
+def test_ensemble_flag_contradictions_error_loudly():
+    """--estimator wgan + --conditional, --estimator mm + --conditional,
+    mm + --parallel mesh, and --record-every 0 must all SystemExit instead
+    of silently resolving to something the user did not ask for."""
+    import pytest
+
+    from tcgan_tpu.run import ensemble as ens_run
+
+    base = ("--datastore /tmp/x --N 8 --batch-size 4 "
+            "--J .045 .04 .05 .035 --D .1 .08 .1 .08 "
+            "--S .25 .1 .25 .1").split()
+    for extra in (["--estimator", "wgan", "--conditional"],
+                  ["--estimator", "mm", "--conditional"],
+                  ["--estimator", "mm", "--parallel", "mesh"],
+                  ["--record-every", "0"]):
+        with pytest.raises(SystemExit):
+            ens_run.main(base + extra)

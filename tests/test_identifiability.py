@@ -193,3 +193,20 @@ def test_bootstrap_moment_cov_matches_theory_for_gaussian(rng):
     assert C.shape == (2, 2)
     np.testing.assert_allclose(C[0, 0], 4.0, rtol=0.25)  # var of mean unit
     np.testing.assert_allclose(C[1, 1], 2.0, rtol=0.35)  # var of std ~ s^2/2
+
+
+def test_identifiability_report_sees_exact_null_space():
+    """A moment-deficient Jacobian (fewer moment rows than params) has an
+    EXACT null space; the report must show sigma_min = 0 and a ridge
+    direction inside it (reduced SVD hid both, ranking degenerate
+    batteries as well-conditioned)."""
+    from tcgan_tpu.analysis.identifiability import identifiability_report
+
+    rng = np.random.RandomState(0)
+    jac = rng.rand(5, 12)  # 5 moments, 12 params -> >= 7 null dims
+    rep = identifiability_report(jac)
+    assert len(rep["singular_values"]) == 12
+    assert rep["sigma_min"] == 0.0
+    assert rep["condition_number"] > 1e100  # effectively infinite
+    ridge = np.array(list(rep["ridge_direction"].values()))
+    np.testing.assert_allclose(jac @ ridge, 0.0, atol=1e-12)

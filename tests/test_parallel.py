@@ -173,3 +173,13 @@ def test_mesh_cli_paths_end_to_end(tmp_path):
     assert rc == 0
     lines = (tmp_path / "g" / "learning.csv").read_text().strip().split("\n")
     assert len(lines) == 3  # header + 2 steps
+
+
+def test_make_mesh_validates_divisibility():
+    devs = (jax.devices("cpu") * 8)[:8]  # exactly-8-entry device list
+    with pytest.raises(ValueError):
+        par.make_mesh(n_model=3, devices=devs)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        par.make_mesh(n_model=16, devices=devs)  # zero-device mesh
+    with pytest.raises(ValueError):
+        par.make_mesh(n_batch=16, devices=devs)  # more than available

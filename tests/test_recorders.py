@@ -91,3 +91,25 @@ def test_metrics():
     assert sliced_w1(a, shifted) > 0.2
     err = param_recovery_error({"J": np.eye(2)}, {"J": np.eye(2) * 2})
     assert 0.4 < err["J"] < 0.6
+
+
+def test_recorder_truncate_from(tmp_path):
+    """Resume support: rows at/after the restored step are dropped from
+    CSV and JSONL streams instead of being double-recorded."""
+    from tcgan_tpu.train.recorders import CSVRecorder, JSONLRecorder
+
+    c = CSVRecorder(tmp_path / "x.csv", ["step", "v"])
+    j = JSONLRecorder(tmp_path / "x.jsonl")
+    for s in range(6):
+        c.record({"step": s, "v": s * 10})
+        j.record({"step": s, "v": s * 10})
+    c.truncate_from(3)
+    j.truncate_from(3)
+    c.record({"step": 3, "v": 999})  # the resumed step's fresh row
+    c.close(), j.close()
+    import csv as csv_mod
+    rows = list(csv_mod.reader(open(tmp_path / "x.csv")))[1:]
+    assert [int(float(r[0])) for r in rows] == [0, 1, 2, 3]
+    assert rows[-1][1] == "999"
+    steps = [json.loads(l)["step"] for l in open(tmp_path / "x.jsonl")]
+    assert steps == [0, 1, 2]
