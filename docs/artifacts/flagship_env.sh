@@ -16,20 +16,70 @@
 # weakest probe-point signal), so the anchor force tracks the
 # instantaneous displacement the cycle was hiding.
 #
-# All times UTC. Round-4 driver window ends ~01:15 Aug 19; margins:
-#   STOP_AT   23:00 — stop a RUNNING flagship (leaves eval-queue room)
-#   LAST_CALL 23:40 — absolute flagship stop
-#   END_AT    00:30 — hard end for queue TPU work (driver bench after)
+# Phase 2 (2026-08-18 ~22:00 UTC, builder session restarted with a fresh
+# ~12h window): at 36.4k steps J had recovered to 6.9% (still falling)
+# but D sat FLAT at 25.5% (slope -0.02%/1k -> 26% projected at 60k; the
+# gate could never fire). anchor_d_probe.json rules out starvation (the
+# J-corrected residual is 35x the truth level — the witness demands D);
+# the stall is per-step gradient SNR along the J/D ridge: the anchor's
+# Adam drifts at lr x SNR, and gamma=0.9's 20x-noisier EMA (the round-3
+# limit-cycle fix that rescued J) starved D's tiny signal. Calibration:
+# mm13fix (lr 1e-3, gamma 0.995, eff-N 51k) descended D at ~0.2%/1k —
+# 92k more steps at that pace. Phase 2 resumes from ckpt 35000 with
+#   ANCHOR     2e-3 -> 1e-2   (5x drift; lr-scaling study: stable <2.5e-2)
+#   ANCHOR_EMA 0.9  -> 0.98   (eff-N 12.8k, lag ~50 steps — between the
+#                              limit-cycle-prone 0.995/200 and the
+#                              D-starved 0.9/10)
+#   ANCHOR_B1  0.5  -> 0.9    (new --anchor-beta1: gradient averaged
+#                              over ~10 steps at ~10-step lag — variance
+#                              reduction the EMA can only buy with lag)
+# Expected D rate ~1%/1k -> gate window ~18k steps. J's gate margin is
+# protected by its 4x-larger signal. Checkpoints every 1000 steps so a
+# bad config costs <17 min.
+#
+# Phase-2 OUTCOME (22:00-22:15 UTC): UNSTABLE — lr 1e-2 (+b1 0.9)
+# destabilized the production battery within ~500 steps of the resume
+# (ckpt 37500): params shot AWAY from truth (S 6.5% -> 10.8%, D 25.6 ->
+# 31%), anchor residual 5e-5 -> 4.7e-2, survivor yield -> 1.0 (the
+# easy/wrong region), critic accuracy -> 0.98. Killed at step 38648
+# (the new graceful-stop checkpointed it; poisoned ckpts 38000/38648
+# deleted). Lesson recorded in --anchor-updates help: raise the anchor's
+# UPDATE COUNT, not its step size.
+#
+# Phase 3 (22:20 UTC): resume ckpt 37500 with the throughput lever:
+#   ANCHOR          2e-3   (phase-1-proven stable on THIS battery)
+#   ANCHOR_EMA      0.995  (mm13fix's noise regime, eff-N ~51k; the
+#                           round-3 limit-cycle risk at this gamma was
+#                           driven by fast critic-coupled J motion —
+#                           J is now converged (6.6%) and gen lr is
+#                           decayed 8x, and D's drift is inherently
+#                           slow, so the 200-step EMA lag displacement
+#                           is <1% of the remaining D path)
+#   ANCHOR_B1       0.5    (no momentum adventure after phase 2)
+#   ANCHOR_UPDATES  8      (new --anchor-updates: 8 anchor Adam steps
+#                           per GAN step; ~Kx ridge progress at
+#                           ~(6+K)/7x step cost — mm13fix's measured
+#                           0.2%/1k at lr 1e-3 scales to ~3%/1k GAN
+#                           steps at 2e-3 x 8 updates -> gate in ~6k
+#                           steps if the linear estimate holds, ~19k
+#                           even at 3x pessimism)
+#
+# All times UTC. Round-4 builder session ends ~09:30 Aug 19; margins:
+#   STOP_AT   07:30 — stop a RUNNING flagship (leaves eval-queue room)
+#   LAST_CALL 08:00 — absolute flagship stop
+#   END_AT    08:45 — hard end for queue TPU work (driver bench after)
 RUN=${RUN:-rec13anchor3}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
 STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentional stop
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-18 23:00" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-18 23:40" +%s)}
-END_AT=${END_AT:-$(date -u -d "2026-08-19 00:30" +%s)}
-export GATE_STEP=${GATE_STEP:-15000}
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 07:30" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 08:00" +%s)}
+END_AT=${END_AT:-$(date -u -d "2026-08-19 08:45" +%s)}
+export GATE_STEP=${GATE_STEP:-39500}
 N_STEPS=${N_STEPS:-60000}
 ANCHOR=${ANCHOR:-2e-3}
-ANCHOR_EMA=${ANCHOR_EMA:-0.9}
+ANCHOR_EMA=${ANCHOR_EMA:-0.995}
+ANCHOR_B1=${ANCHOR_B1:-0.5}
+ANCHOR_UPDATES=${ANCHOR_UPDATES:-8}
 
 last_step() {
   tail -1 "runs/$RUN/generator.csv" 2>/dev/null | cut -d, -f1
@@ -81,8 +131,9 @@ flagship_cmd() {
     --normalize-input --normalize-input-mode std \
     --reject-unconverged --rate-cost 0.05 \
     --moment-anchor "$ANCHOR" --anchor-ema "$ANCHOR_EMA" \
+    --anchor-beta1 "$ANCHOR_B1" --anchor-updates "$ANCHOR_UPDATES" \
     --gen-learn-rate 1e-4 --disc-learn-rate 1e-3 \
     --critic-lr-decay-steps 0 --lr-decay-steps 12000 \
     --gen-ema 0.999 --clip-grad 1.0 \
-    --solver-backend pallas --checkpoint-every 2500 --timing-every 500
+    --solver-backend pallas --checkpoint-every 1000 --timing-every 500
 }

@@ -97,6 +97,26 @@ class WGANConfig:
     # moment_anchor == 0); effective sample count ~ batch/(1-gamma)
     moment_ema: float = 0.995
     moment_eps: float = 1e-2  # moment-normalization floor (as in mm)
+    # beta1 for the anchor's OWN Adam (None = the WGAN beta1, 0.5). The
+    # anchor's drift per step is ~lr x gradient-SNR; along the weakly
+    # identified J/D ridge the per-step SNR is tiny (the rec13anchor3
+    # D stall), and heavier momentum averages the gradient over
+    # ~1/(1-beta1) steps with only that much lag — variance reduction
+    # the moment EMA can only buy at 10-20x the lag (gamma 0.98 lags
+    # ~50 steps; beta1 0.9 lags ~10). Measured caution (rec13anchor3
+    # phase-2 blowup, BASELINE.md): lr 1e-2 + beta1 0.9 destabilized the
+    # production battery within ~500 steps — raise the UPDATE COUNT
+    # (anchor_updates), not the step size.
+    anchor_beta1: float | None = None
+    # Anchor Adam updates per GAN step (fresh generator batch each).
+    # The anchor's parameter drift is throughput-limited (lr x per-update
+    # SNR), and one solver pass per update is ~1/7 of the GAN step's
+    # solver passes (n_critic fake draws + gen fwd/bwd + anchor) — so K
+    # anchor updates multiply ridge-direction progress per GAN step ~Kx
+    # at ~(6+K)/7x step cost, where raising lr past the stability edge
+    # simply diverges. The adversarial and anchor pulls still compose
+    # sequentially; the critic trains at the SAME cadence.
+    anchor_updates: int = 1
 
     @property
     def critic_cfg(self) -> CriticConfig:
@@ -186,8 +206,10 @@ def make_optimizers(cfg: WGANConfig):
 
 def make_anchor_optimizer(cfg: WGANConfig):
     """The anchor's own Adam (see WGANConfig.moment_anchor): constant lr =
-    moment_anchor, the WGAN betas, same clip/finite guards."""
-    adam = optax.adam(cfg.moment_anchor, b1=cfg.beta1, b2=cfg.beta2)
+    moment_anchor, the WGAN betas (beta1 overridable via anchor_beta1),
+    same clip/finite guards."""
+    b1 = cfg.beta1 if cfg.anchor_beta1 is None else cfg.anchor_beta1
+    adam = optax.adam(cfg.moment_anchor, b1=b1, b2=cfg.beta2)
     if cfg.clip_grad > 0:
         adam = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
     return optax.apply_if_finite(adam, max_consecutive_errors=100)
@@ -415,21 +437,40 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
     key_a = jax.random.fold_in(key_g, 1)
     gen_cfg = cfg.gen if gen_cfg is None else gen_cfg
 
-    def anchor_only(gp_):
-        out = gen_lib.sample_tuning_curves(gen_cfg, gp_, key_a,
-                                           cfg.batch_size)
-        aloss, new_em, new_es, new_count = anchor_loss(cfg, state, out)
-        return aloss, (new_em, new_es, new_count)
+    def one_update(carry, k):
+        gp, opt, em, es, cnt = carry
+        st = state._replace(mom_ema_mean=em, mom_ema_second=es,
+                            mom_ema_count=cnt)
 
-    (aloss, (new_em, new_es, new_count)), a_grads = jax.value_and_grad(
-        anchor_only, has_aux=True)(gen_params)
-    a_updates, anchor_opt = anchor_tx.update(a_grads, state.anchor_opt,
-                                             gen_params)
-    gen_params = optax.apply_updates(gen_params, a_updates)
+        def anchor_only(gp_):
+            out = gen_lib.sample_tuning_curves(gen_cfg, gp_, k,
+                                               cfg.batch_size)
+            aloss, new_em, new_es, new_count = anchor_loss(cfg, st, out)
+            return aloss, (new_em, new_es, new_count)
+
+        (aloss, (em, es, cnt)), a_grads = jax.value_and_grad(
+            anchor_only, has_aux=True)(gp)
+        a_updates, opt = anchor_tx.update(a_grads, opt, gp)
+        gp = optax.apply_updates(gp, a_updates)
+        sg = jax.lax.stop_gradient
+        return (gp, opt, sg(em), sg(es), sg(cnt)), aloss
+
+    n = max(1, int(cfg.anchor_updates))
+    carry = (gen_params, state.anchor_opt, state.mom_ema_mean,
+             state.mom_ema_second,
+             state.mom_ema_count if state.mom_ema_count is not None
+             else state.step.astype(state.data_mean.dtype))
+    keys = jax.random.split(key_a, n)
+    if n == 1:  # keep the single-update trace shallow (no scan body)
+        carry, aloss = one_update(carry, keys[0])
+    else:
+        carry, alosses = jax.lax.scan(one_update, carry, keys)
+        aloss = alosses[-1]
+    gen_params, anchor_opt, new_em, new_es, new_count = carry
     return gen_params, dict(
-        mom_ema_mean=jax.lax.stop_gradient(new_em),
-        mom_ema_second=jax.lax.stop_gradient(new_es),
-        mom_ema_count=jax.lax.stop_gradient(new_count),
+        mom_ema_mean=new_em,
+        mom_ema_second=new_es,
+        mom_ema_count=new_count,
         anchor_opt=anchor_opt,
     ), aloss
 

@@ -166,6 +166,23 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--anchor-ema", type=float, default=0.995,
                    help="EMA decay for the anchor's generated moments "
                         "(effective sample count ~ batch/(1-gamma))")
+    g.add_argument("--anchor-updates", type=int, default=1,
+                   help="anchor Adam updates per GAN step (fresh "
+                        "generator batch each). The anchor's ridge-"
+                        "direction drift is throughput-limited (lr x "
+                        "per-update SNR) and one update costs ~1/7 of a "
+                        "GAN step's solver passes, so K updates buy ~Kx "
+                        "ridge progress per step at ~(6+K)/7x cost — "
+                        "where raising lr past the stability edge "
+                        "diverges (measured: BASELINE.md rec13anchor3 "
+                        "phase 2)")
+    g.add_argument("--anchor-beta1", type=float, default=None,
+                   help="beta1 for the anchor's OWN Adam (default: the "
+                        "WGAN --adam-beta1, 0.5). Heavier momentum (0.9) "
+                        "averages the anchor gradient over ~1/(1-beta1) "
+                        "steps — variance reduction along weakly "
+                        "identified ridge directions at a fraction of "
+                        "the moment-EMA's lag")
     g.add_argument("--critic-lr-decay-steps", type=int, default=-1,
                    help="critic-side lr decay horizon: -1 = follow "
                         "--lr-decay-steps, 0 = constant critic lr")

@@ -44,6 +44,46 @@ def _divergence_streak(streak: int, frac: float, cfg: "DriverConfig",
     return streak
 
 
+class _GracefulStop:
+    """Preemption-safe stop for the step loops: SIGTERM/SIGINT set a flag
+    that the drivers check at step boundaries, then checkpoint the last
+    COMPLETED step and finalize the datastore as "interrupted" (resumable
+    with zero lost steps) instead of dying mid-step with everything since
+    the last periodic checkpoint lost. TPU pool preemptions and the
+    orchestration scripts (docs/artifacts/flagship_env.sh) both deliver
+    SIGTERM. A second signal while the flag is already set falls through
+    to the previous handler (default: kill) so a hung save can still be
+    stopped. No-op off the main thread (signal.signal raises there)."""
+
+    def __init__(self):
+        self.requested = False
+        self._old = {}
+
+    def __enter__(self):
+        import signal
+
+        def _request(signum, frame):
+            if self.requested:  # second signal: escalate
+                handler = self._old.get(signum, signal.SIG_DFL)
+                signal.signal(signum, handler)
+                raise KeyboardInterrupt
+            self.requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._old[sig] = signal.signal(sig, _request)
+            except ValueError:  # non-main thread (e.g. test harnesses)
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, handler in self._old.items():
+            signal.signal(sig, handler)
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class DriverConfig:
     n_steps: int = 1000
@@ -123,6 +163,8 @@ class GANDriver:
         # different streams from the resume point — this prevents
         # replay, it does not bit-reproduce an uninterrupted run.)
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
+        stop = _GracefulStop()
+        stop.__enter__()
         try:
             for step in range(start, start + n_steps):
                 key, k_data, k_step = jax.random.split(key, 3)
@@ -150,10 +192,14 @@ class GANDriver:
                     self.checkpoints.save(step + 1, self.state)
                     self._export_params(step + 1)
                     self._save_adaptive_state()
-            self.checkpoints.save(start + n_steps, self.state)
-            self._export_params(start + n_steps)
+                if stop.requested:
+                    break
+            done = int(self.state.step)
+            self.checkpoints.save(done, self.state)
+            self._export_params(done)
             self._save_adaptive_state()
-            self.store.finalize("finished")
+            self.store.finalize("interrupted" if stop.requested
+                                else "finished")
         except PervasiveDivergenceError as e:
             self.store.finalize("known_error", {"error": str(e)})
             raise
@@ -161,6 +207,7 @@ class GANDriver:
             self.store.finalize("crashed")
             raise
         finally:
+            stop.__exit__()
             self.recorders.close()
         return self.state
 
@@ -394,6 +441,8 @@ class MomentMatchingDriver:
                 rec.truncate_from(start)
         # As in GANDriver.run: fresh keys after resume (no replay).
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), start)
+        stop = _GracefulStop()  # see GANDriver.run: preemption-safe stop
+        stop.__enter__()
         try:
             for step in range(start, start + n_steps):
                 key, k_step = jax.random.split(key)
@@ -423,8 +472,11 @@ class MomentMatchingDriver:
                 if (self.cfg.checkpoint_every
                         and (step + 1) % self.cfg.checkpoint_every == 0):
                     self.checkpoints.save(step + 1, self.state)
-            self.checkpoints.save(start + n_steps, self.state)
-            self.store.finalize("finished")
+                if stop.requested:
+                    break
+            self.checkpoints.save(int(self.state.step), self.state)
+            self.store.finalize("interrupted" if stop.requested
+                                else "finished")
         except PervasiveDivergenceError as e:
             self.store.finalize("known_error", {"error": str(e)})
             raise
@@ -432,6 +484,7 @@ class MomentMatchingDriver:
             self.store.finalize("crashed")
             raise
         finally:
+            stop.__exit__()
             self._learning.close()
             self._jsonl.close()
             self._gen.close()

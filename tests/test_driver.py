@@ -166,3 +166,121 @@ def test_disc_learning_stream_and_timing(tmp_path):
         rows = list(_csv.DictReader(fh))
     assert float(rows[2]["SSsolve_time"]) > 0
     assert float(rows[2]["gradient_time"]) > 0
+
+
+def test_adaptive_solver_budget_bucketing(tmp_path):
+    from tests.test_wgan import small_gen_cfg
+
+    gen = small_gen_cfg(ssn=SSNConfig(N=6, max_iter=8192))
+    cfg = wgan_lib.WGANConfig(gen=gen, batch_size=4)
+    state = wgan_lib.init_state(cfg)
+
+    class M:
+        def __init__(self, fconv, miters):
+            self.frac_converged = fconv
+            self.mean_iters = miters
+
+    store = DataStore(tmp_path)
+    drv = GANDriver(cfg, DriverConfig(adaptive_max_iter=True,
+                                      adaptive_margin=4.0),
+                    store, lambda *a: None, state,
+                    lambda *a: None)
+    # healthy steps at ~400 iters -> cap 4*400=1600 -> bucket 2048
+    for s in range(5):
+        drv._adapt_solver_budget(s, M(1.0, 400.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048
+    # a divergence outbreak must NOT raise the budget (EMA frozen)
+    drv._adapt_solver_budget(6, M(0.3, 2048.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048
+    # floor: very fast convergence still keeps >= 1024
+    drv2 = GANDriver(cfg, DriverConfig(adaptive_max_iter=True),
+                     store, lambda *a: None, state, lambda *a: None)
+    drv2._adapt_solver_budget(0, M(1.0, 50.0))
+    assert drv2.model_cfg.gen.ssn.max_iter == 1024
+    # ceiling: never exceeds the configured max_iter
+    drv3 = GANDriver(cfg, DriverConfig(adaptive_max_iter=True,
+                                       adaptive_margin=100.0),
+                     store, lambda *a: None, state, lambda *a: None)
+    drv3._adapt_solver_budget(0, M(1.0, 5000.0))
+    assert drv3.model_cfg.gen.ssn.max_iter == 8192
+
+
+def test_adaptive_budget_escape_valve_and_sidecar(tmp_path):
+    """(1) Escape valve: when the cap itself keeps frac_converged < 0.9
+    (an absorbing state — the EMA gate would never fire again), 50
+    sustained unhealthy capped steps raise the EMA one bucket. (2) The
+    adaptive state survives resume via the sidecar file (orbax holds
+    model state only)."""
+    from tests.test_wgan import small_gen_cfg
+
+    gen = small_gen_cfg(ssn=SSNConfig(N=6, max_iter=8192))
+    cfg = wgan_lib.WGANConfig(gen=gen, batch_size=4)
+    state = wgan_lib.init_state(cfg)
+
+    class M:
+        def __init__(self, fconv, miters):
+            self.frac_converged = fconv
+            self.mean_iters = miters
+
+    store = DataStore(tmp_path)
+    dcfg = DriverConfig(adaptive_max_iter=True, adaptive_margin=4.0)
+    drv = GANDriver(cfg, dcfg, store, lambda *a: None, state,
+                    lambda *a: None)
+    for s in range(5):
+        drv._adapt_solver_budget(s, M(1.0, 400.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048
+    # slow-but-convergent tail cut off by the cap: unhealthy while capped
+    for s in range(49):
+        drv._adapt_solver_budget(10 + s, M(0.85, 2048.0))
+    assert drv.model_cfg.gen.ssn.max_iter == 2048  # not yet
+    drv._adapt_solver_budget(60, M(0.85, 2048.0))  # 50th -> valve fires
+    assert drv.model_cfg.gen.ssn.max_iter == 4096
+    # a healthy step resets the streak and resumes normal EMA tracking
+    drv._adapt_solver_budget(61, M(0.95, 500.0))
+    assert drv._capped_unhealthy == 0
+
+    # sidecar: persists at checkpoint time, restored by a fresh driver
+    drv._save_adaptive_state()
+    drv2 = GANDriver(cfg, dcfg, store, lambda *a: None, state,
+                     lambda *a: None)
+    assert drv2._iter_ema is not None
+    assert drv2.model_cfg.gen.ssn.max_iter == drv.model_cfg.gen.ssn.max_iter
+
+
+def test_graceful_stop_on_sigterm(tmp_path):
+    """SIGTERM mid-run: the driver finishes the current step, checkpoints
+    the COMPLETED step, finalizes the datastore as "interrupted" (not
+    "crashed"), and a resume continues with zero lost steps — the
+    preemption-safe semantics TPU-pool stops and the orchestration
+    scripts (docs/artifacts/flagship_env.sh) rely on."""
+    import json
+    import os
+    import signal
+
+    drv, store = _mk_driver(tmp_path, _stub_step())
+    drv.cfg = DriverConfig(n_steps=50, checkpoint_every=0, tc_mean_every=0)
+
+    def send_sigterm(step, state, metrics):
+        if step == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    state = drv.run(on_step=send_sigterm)
+    assert int(state.step) == 3  # steps 0..2 completed, then stopped
+    info = json.loads((tmp_path / "run" / "info.json").read_text())
+    assert info["status"] == "interrupted"
+    assert drv.checkpoints.latest_step() == 3
+    # the handler is restored after run()
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler)
+
+    # resume: a fresh driver restores step 3 and completes the rest
+    cfg = drv.model_cfg
+    state2 = drv.checkpoints.restore(wgan_lib.init_state(cfg))
+    drv2 = GANDriver(cfg, DriverConfig(n_steps=2, checkpoint_every=0,
+                                       tc_mean_every=0),
+                     store, _stub_step(), state2, _sampler,
+                     checkpoints=drv.checkpoints)
+    state2 = drv2.run()
+    assert int(state2.step) == 5
+    info = json.loads((tmp_path / "run" / "info.json").read_text())
+    assert info["status"] == "finished"

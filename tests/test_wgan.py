@@ -34,6 +34,21 @@ TINY_GEN = GeneratorConfig(
 )
 
 
+def small_gen_cfg(**kw):
+    """Multi-condition tiny generator (2 bandwidths x 2 contrasts, 2
+    sites): the cwgan/moments/CLI tests need several stimulus conditions
+    where TINY_GEN deliberately has almost none. Shared across test
+    modules (test_cwgan, test_moments, test_cli, test_driver import it)."""
+    base = dict(
+        ssn=SSNConfig(N=6, seqlen=100, max_iter=200, atol=1e-4),
+        bandwidths=(0.0, 1.0), contrasts=(5.0, 10.0),
+        sample_sites=2, track_offset_identity=True,
+        include_inhibitory_neurons=False, solver="ift",
+    )
+    base.update(kw)
+    return GeneratorConfig(**base)
+
+
 def tiny_wgan_cfg(**kw):
     base = dict(gen=TINY_GEN, critic_layers=(16, 16), batch_size=4,
                 n_critic=2, n_critic0=2, seed=0)
@@ -492,3 +507,129 @@ def test_survivor_chain_absorbing_state_fallback():
     out.converged = jnp.asarray(conv)
     w = np.asarray(cwgan_lib.fake_row_weights(ccfg, out)).reshape(2, S)
     np.testing.assert_allclose(w, np.asarray(conv, float))
+
+
+def test_critic_lr_decay_split():
+    import optax  # noqa: F401  (optimizers built through wgan_lib)
+
+    cfg = wgan_lib.WGANConfig(lr_gen=1e-3, lr_critic=1e-3,
+                              lr_decay_steps=10, lr_decay_rate=0.5,
+                              critic_lr_decay_steps=0)
+    gen_tx, critic_tx = wgan_lib.make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    def nth_update(tx, n):
+        st = tx.init(params)
+        for _ in range(n):
+            up, st = tx.update(grads, st, params)
+        return float(np.abs(np.asarray(up["w"])).mean())
+
+    # after 30 steps the generator lr decayed 8x; the critic lr did not —
+    # Adam normalizes magnitudes, so compare the decayed scale directly
+    g30, c30 = nth_update(gen_tx, 30), nth_update(critic_tx, 30)
+    assert c30 > 4 * g30, (g30, c30)
+    # follow-mode (-1): both decay identically
+    cfg2 = dataclasses.replace(cfg, critic_lr_decay_steps=-1)
+    _, critic_tx2 = wgan_lib.make_optimizers(cfg2)
+    c30b = nth_update(critic_tx2, 30)
+    assert abs(c30b - g30) / g30 < 1e-5
+
+
+def test_anchor_loss_zero_survivor_holds_ema():
+    """A batch where not even one solve converged must NOT blend its
+    all-zero 'moments' into the anchor EMA (it is not an estimate); the
+    EMA holds and resumes blending when survivors return."""
+    from types import SimpleNamespace
+
+    cfg = wgan_lib.WGANConfig(gen=small_gen_cfg())
+    B, S, F = 4, cfg.gen.n_stim, 6
+    rng = np.random.RandomState(1)
+    tc = jnp.asarray(rng.rand(B, F), jnp.float32)
+    dm, dsec = mm_lib.data_moments(jnp.asarray(rng.rand(32, F), jnp.float32))
+    em = jnp.full_like(dm, 0.5)
+    esec = jnp.full_like(dsec, 0.25)
+    state = SimpleNamespace(step=jnp.asarray(10, jnp.int32),
+                            data_mean=dm, data_second=dsec,
+                            mom_ema_mean=em, mom_ema_second=esec,
+                            mom_ema_count=jnp.asarray(10.0, jnp.float32))
+
+    out_dead = SimpleNamespace(tc=tc, converged=jnp.zeros((B, S), bool))
+    _, em_d, esec_d, cnt_d = wgan_lib.anchor_loss(cfg, state, out_dead)
+    np.testing.assert_allclose(np.asarray(em_d), np.asarray(em))
+    np.testing.assert_allclose(np.asarray(esec_d), np.asarray(esec))
+    assert float(cnt_d) == 10.0  # counter holds with the EMA
+
+    out_ok = SimpleNamespace(tc=tc, converged=jnp.ones((B, S), bool))
+    _, em_o, _, cnt_o = wgan_lib.anchor_loss(cfg, state, out_ok)
+    assert not np.allclose(np.asarray(em_o), np.asarray(em))
+    assert float(cnt_o) == 11.0
+
+
+def test_anchor_beta1_flag_reaches_optimizer():
+    """--anchor-beta1 overrides ONLY the anchor Adam's beta1 (the
+    adversarial optimizers keep --adam-beta1); default None inherits it."""
+    from tcgan_tpu.run.gan_common import make_gan_parser
+    from tcgan_tpu.models.wgan import WGANConfig, make_anchor_optimizer
+
+    p = make_gan_parser("ift")
+    args = p.parse_args(["--datastore", "/tmp/x", "--moment-anchor", "1e-2",
+                         "--anchor-beta1", "0.9"])
+    assert args.anchor_beta1 == 0.9
+    args_def = p.parse_args(["--datastore", "/tmp/x"])
+    assert args_def.anchor_beta1 is None
+
+    cfg = WGANConfig(gen=TINY_GEN, moment_anchor=1e-2, anchor_beta1=0.9)
+    # the optax.adam inside the chain carries b1 via its update closure;
+    # verify behaviorally: with beta1=0.9 the first-step Adam update for a
+    # constant gradient equals the beta1=0.5 one (bias-corrected), but the
+    # SECOND step differs unless beta1 actually changed.
+    import jax.numpy as jnp
+    import numpy as np
+    tx_09 = make_anchor_optimizer(cfg)
+    tx_05 = make_anchor_optimizer(
+        WGANConfig(gen=TINY_GEN, moment_anchor=1e-2, anchor_beta1=None))
+    params = {"J": jnp.ones((2, 2))}
+    g1 = {"J": jnp.ones((2, 2)) * 0.3}
+    g2 = {"J": jnp.ones((2, 2)) * -0.1}
+    outs = []
+    for tx in (tx_09, tx_05):
+        s = tx.init(params)
+        u1, s = tx.update(g1, s, params)
+        u2, s = tx.update(g2, s, params)
+        outs.append(np.asarray(u2["J"]))
+    assert not np.allclose(outs[0], outs[1])
+
+
+def test_anchor_updates_scan_path():
+    """--anchor-updates K > 1: apply_anchor_update runs K composed Adam
+    steps on the anchor residual (fresh batch each), advancing the EMA
+    debias counter by exactly K and moving the generator params; K = 1
+    keeps the original single-update semantics."""
+    gen = small_gen_cfg()
+    dm_rng = np.random.RandomState(3)
+    data_tc = jnp.asarray(dm_rng.rand(64, gen.tc_dim), jnp.float32)
+    data_moments = mm_lib.data_moments(data_tc)
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for k_updates in (1, 3):
+        cfg = wgan_lib.WGANConfig(gen=gen, batch_size=4,
+                                  moment_anchor=5e-3,
+                                  anchor_updates=k_updates)
+        state = wgan_lib.init_state(cfg, data_moments=data_moments)
+        count0 = float(state.mom_ema_count)
+        params, fields, aloss = wgan_lib.apply_anchor_update(
+            cfg, state, state.gen_params, key)
+        assert np.isfinite(float(aloss))
+        assert float(fields["mom_ema_count"]) == count0 + k_updates
+        moved = jax.tree_util.tree_reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda p0, p1: float(jnp.abs(p1 - p0).sum()),
+                         state.gen_params, params))
+        assert moved > 0
+        results[k_updates] = params
+    # K=3 composes three updates — it must differ from the single update
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         results[1], results[3])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
