@@ -74,9 +74,9 @@ STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentiona
 STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 07:30" +%s)}
 LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 08:00" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-19 08:45" +%s)}
-export GATE_STEP=${GATE_STEP:-39500}
+export GATE_STEP=${GATE_STEP:-41000}
 N_STEPS=${N_STEPS:-60000}
-ANCHOR=${ANCHOR:-2e-3}
+ANCHOR=${ANCHOR:-1e-3}
 ANCHOR_EMA=${ANCHOR_EMA:-0.995}
 ANCHOR_B1=${ANCHOR_B1:-0.5}
 ANCHOR_UPDATES=${ANCHOR_UPDATES:-8}
@@ -85,12 +85,20 @@ last_step() {
   tail -1 "runs/$RUN/generator.csv" 2>/dev/null | cut -d, -f1
 }
 
-# J,D <= 7% (mean over the 4 block entries) across a 1000-step window
-# past GATE_STEP. Identical check for queue and watchdog BY CONSTRUCTION
-# (both call this function), so a gate stop is never mistaken for a
-# crash even without the sentinel.
+# J,D below the gate (mean over the 4 block entries) across a 1000-step
+# window past GATE_STEP. Identical check for queue and watchdog BY
+# CONSTRUCTION (both call this function), so a gate stop is never
+# mistaken for a crash even without the sentinel.
+#
+# Two-tier threshold: strict 7% while there is chip time to spare; after
+# RELAX_AT, 9.5% — still under the round's 10% bar — so a run hovering
+# at 8-9% stops in time for the eval chain AND the queued mm-ensemble
+# science run (needs ~110 min before END_AT) instead of polishing until
+# STOP_AT and squeezing both out.
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 04:45" +%s)}
 gate_cleared() {
-  RUN="$RUN" python - <<'EOF'
+  GATE_PCT=$([ "$(date -u +%s)" -ge "$RELAX_AT" ] && echo 0.095 || echo 0.07)
+  RUN="$RUN" GATE_PCT="$GATE_PCT" python - <<'EOF'
 import csv, os, sys
 import numpy as np
 try:
@@ -102,10 +110,11 @@ TJ = np.array([0.045, 0.04, 0.05, 0.035])
 TD = np.array([0.1, 0.08, 0.1, 0.08])
 if len(data) < 1001:
     sys.exit(1)
+pct = float(os.environ.get("GATE_PCT", "0.07"))
 tail = data[[-1001, -501, -1]]
 ok = (tail[:, 0].min() >= float(os.environ.get("GATE_STEP", "15000"))
-      and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= 0.07).all()
-      and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= 0.07).all())
+      and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= pct).all()
+      and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= pct).all())
 sys.exit(0 if ok else 1)
 EOF
 }
