@@ -64,17 +64,32 @@
 #                           steps if the linear estimate holds, ~19k
 #                           even at 3x pessimism)
 #
-# All times UTC. Round-4 builder session ends ~09:30 Aug 19; margins:
-#   STOP_AT   07:30 — stop a RUNNING flagship (leaves eval-queue room)
-#   LAST_CALL 08:00 — absolute flagship stop
-#   END_AT    08:45 — hard end for queue TPU work (driver bench after)
-RUN=${RUN:-rec13anchor3}
+# Phase 5 (2026-08-19 ~02:45 UTC): the sandbox VM was recycled between
+# builder sessions and runs/ (gitignored checkpoints) did not survive —
+# rec13anchor3's phase-4 state is gone. COLD RESTART from the standard
+# +30%/-30% ridge start as runs/rec13anchor4, using the phase-4-proven
+# per-update dynamics from step 0:
+#   ANCHOR 1e-3, ANCHOR_EMA 0.995, ANCHOR_B1 0.5, ANCHOR_UPDATES 8
+# Rationale: each anchor update then has EXACTLY mm13fix's convergent
+# per-update dynamics (lr 1e-3, gamma 0.995), 8 per GAN step — mm13fix
+# recovered from THIS cold start in 96k updates, i.e. ~12k GAN steps
+# here; phase 4 measured J -4.5%/1k and D -1.6%/1k at this config, so
+# the D path (30% -> 7%) forecasts ~12-14.5k steps at the measured
+# ~1.9 s/step (6.3-7.6 h). K=8 keeps the EMA lag at 25 GAN steps, 8x
+# tighter than the round-3 limit-cycle regime, so full cold-start gen
+# lr (1e-4) is inside the measured stability region.
+#
+# All times UTC. Round-4b builder session ends ~13:55 Aug 19; margins:
+#   STOP_AT   11:30 — stop a RUNNING flagship (leaves eval-queue room)
+#   LAST_CALL 12:00 — absolute flagship stop
+#   END_AT    12:45 — hard end for queue TPU work (driver bench after)
+RUN=${RUN:-rec13anchor4}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
 STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentional stop
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 07:30" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 08:00" +%s)}
-END_AT=${END_AT:-$(date -u -d "2026-08-19 08:45" +%s)}
-export GATE_STEP=${GATE_STEP:-41000}
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 12:00" +%s)}
+END_AT=${END_AT:-$(date -u -d "2026-08-19 12:45" +%s)}
+export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}
 ANCHOR=${ANCHOR:-1e-3}
 ANCHOR_EMA=${ANCHOR_EMA:-0.995}
@@ -95,7 +110,7 @@ last_step() {
 # at 8-9% stops in time for the eval chain AND the queued mm-ensemble
 # science run (needs ~110 min before END_AT) instead of polishing until
 # STOP_AT and squeezing both out.
-RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 04:45" +%s)}
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 09:15" +%s)}
 gate_cleared() {
   GATE_PCT=$([ "$(date -u +%s)" -ge "$RELAX_AT" ] && echo 0.095 || echo 0.07)
   RUN="$RUN" GATE_PCT="$GATE_PCT" python - <<'EOF'
