@@ -79,16 +79,21 @@
 # tighter than the round-3 limit-cycle regime, so full cold-start gen
 # lr (1e-4) is inside the measured stability region.
 #
-# All times UTC. Round-4b builder session ends ~13:55 Aug 19; margins:
-#   STOP_AT   11:30 — stop a RUNNING flagship (leaves eval-queue room)
-#   LAST_CALL 12:00 — absolute flagship stop
-#   END_AT    12:45 — hard end for queue TPU work (driver bench after)
+# Phase 5b (2026-08-19 04:25 UTC): the VM recycled AGAIN before phase 5
+# could launch (boot 04:14; the 02:45 session's window evaporated).
+# Same plan, same RUN name (runs/ is empty — nothing to collide with),
+# deadlines shifted to the new ~12h session window ending ~16:20 UTC.
+#
+# All times UTC. Round-4c builder session ends ~16:20 Aug 19; margins:
+#   STOP_AT   13:45 — stop a RUNNING flagship (leaves eval-queue room)
+#   LAST_CALL 14:15 — absolute flagship stop
+#   END_AT    15:00 — hard end for queue TPU work (driver bench after)
 RUN=${RUN:-rec13anchor4}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
 STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentional stop
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 12:00" +%s)}
-END_AT=${END_AT:-$(date -u -d "2026-08-19 12:45" +%s)}
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 13:45" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 14:15" +%s)}
+END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}
 ANCHOR=${ANCHOR:-1e-3}
@@ -110,7 +115,7 @@ last_step() {
 # at 8-9% stops in time for the eval chain AND the queued mm-ensemble
 # science run (needs ~110 min before END_AT) instead of polishing until
 # STOP_AT and squeezing both out.
-RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 09:15" +%s)}
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
 gate_cleared() {
   GATE_PCT=$([ "$(date -u +%s)" -ge "$RELAX_AT" ] && echo 0.095 || echo 0.07)
   RUN="$RUN" GATE_PCT="$GATE_PCT" python - <<'EOF'
