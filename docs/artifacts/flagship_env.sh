@@ -91,6 +91,20 @@
 RUN=${RUN:-rec13anchor4}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
 STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentional stop
+# Watchdog touches this BEFORE killing/relaunching a wedged or crashed
+# flagship and removes it once the new pid is in $PIDFILE, so the queue
+# never mistakes the dead-pid window mid-resume for "flagship finished"
+# (that exact race fired at 07:30 on 2026-08-19: queue saw the hang-kill,
+# dropped $STOPFILE, and started the eval chain at step 3877).
+RESUMEFILE=${RESUMEFILE:-/tmp/${RUN}.resuming}
+# A resume sentinel older than this is stale (watchdog died mid-resume);
+# the queue stops honoring it rather than waiting forever.
+RESUME_FRESH_S=${RESUME_FRESH_S:-900}
+resume_pending() {
+  [ -f "$RESUMEFILE" ] || return 1
+  age=$(( $(date -u +%s) - $(stat -c %Y "$RESUMEFILE") ))
+  [ "$age" -le "$RESUME_FRESH_S" ]
+}
 STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 13:45" +%s)}
 LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 14:15" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}

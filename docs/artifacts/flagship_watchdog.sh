@@ -19,6 +19,10 @@
 set -u
 cd /root/repo
 . docs/artifacts/flagship_env.sh
+# Never leave a resume sentinel behind on any exit path — a stale one
+# would make the queue wait out RESUME_FRESH_S for a resume that is not
+# coming.
+trap 'rm -f "$RESUMEFILE"' EXIT
 
 DEADLINE=$(( STOP_AT < LAST_CALL ? STOP_AT : LAST_CALL ))
 
@@ -27,7 +31,25 @@ while :; do
   [ "$now" -ge $((DEADLINE - 300)) ] && { echo "[watchdog] window over"; exit 0; }
   [ -f "$STOPFILE" ] && { echo "[watchdog] queue stopped the run on purpose ($(cat "$STOPFILE"))"; exit 0; }
   if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
-    sleep 60; continue
+    # Hang detection (round 4c): the 06:36 incident was a LIVE pid blocked
+    # forever on a futex after the TPU tunnel broke mid-step — recorders
+    # flush every step (~1.6 s), so a progress file silent for >10 min
+    # means the process is wedged, not slow. Kill it (by pidfile, never by
+    # pattern) and fall through to the normal dead-pid resume path.
+    prog="runs/$RUN/generator.csv"
+    if [ -f "$prog" ]; then
+      age=$(( $(date -u +%s) - $(stat -c %Y "$prog") ))
+      if [ "$age" -gt "${STALL_S:-600}" ]; then
+        echo "[watchdog] $(date -u +%H:%M:%S) pid alive but $prog silent ${age}s — killing wedged flagship" >&2
+        touch "$RESUMEFILE"   # tell the queue this dead-pid window is a resume, not a finish
+        kill "$(cat "$PIDFILE")" 2>/dev/null; sleep 10
+        kill -9 "$(cat "$PIDFILE")" 2>/dev/null; sleep 5
+      else
+        sleep 60; continue
+      fi
+    else
+      sleep 60; continue
+    fi
   fi
   step=$(last_step)
   if [ -z "$step" ] || [ "$step" = "step" ]; then sleep 60; continue; fi
@@ -38,7 +60,9 @@ while :; do
     echo "[watchdog] gate cleared — queue stopped it on purpose"; exit 0
   fi
   echo "[watchdog] $(date -u +%H:%M:%S) flagship dead at step $step — resuming" >&2
+  touch "$RESUMEFILE"
   nohup $(flagship_cmd) >> "/tmp/${RUN}.log" 2>&1 &
   echo $! > "$PIDFILE"
+  rm -f "$RESUMEFILE"
   sleep 300   # give the resume time to restore + recompile before re-checking
 done

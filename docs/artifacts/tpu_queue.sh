@@ -30,7 +30,21 @@ stop_flagship() {
 flagship_started() { [ -f "runs/$RUN/learning.csv" ]; }
 
 echo "[queue] waiting on flagship (run-stop $(date -u -d @"$STOP_AT" +%H:%M), last-call $(date -u -d @"$LAST_CALL" +%H:%M) UTC)" >&2
-while [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; do
+while :; do
+  if ! { [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; }; then
+    # Dead pid: only treat it as "flagship finished" if the watchdog is
+    # not mid-resume (fresh $RESUMEFILE) — otherwise this loop would race
+    # the watchdog's kill-and-relaunch of a wedged process and start the
+    # eval chain on a half-finished run (fired 2026-08-19 07:30).
+    if resume_pending; then sleep 30; continue; fi
+    # Double-check after a grace period: the watchdog may be between its
+    # kill and its sentinel touch for at most a few seconds.
+    sleep 20
+    if { [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; } || resume_pending; then
+      continue
+    fi
+    break
+  fi
   now=$(date -u +%s)
   if [ "$now" -ge "$LAST_CALL" ]; then
     stop_flagship "last call"; break
@@ -85,5 +99,15 @@ if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
     --jacobian docs/artifacts/jacobian_51013_rich.npz \
     -o docs/artifacts/mmens13.png > /tmp/mmens13_view.log 2>&1
   echo "[queue] ensemble_view rc=$?" >&2
+fi
+
+# Chip-time permitting: a science-grade BPTT-gradient run (C3 config) so
+# the truncated-scan estimator has a recorded W1 result, not only smoke
+# tests. checkpoint-every 1000 means even a timeout leaves usable data.
+if [ "$(left)" -ge 2400 ] && [ ! -d runs/bptt13 ]; then
+  echo "[queue] $(date -u +%H:%M:%S) launching bptt13 (bound $(($(left) - 300))s)" >&2
+  BPTT_TIMEOUT=$(($(left) - 300)) bash docs/artifacts/launch_bptt13.sh \
+    > /tmp/bptt13.log 2>&1
+  echo "[queue] bptt13 rc=$?" >&2
 fi
 echo "[queue] $(date -u +%H:%M:%S) done" >&2
