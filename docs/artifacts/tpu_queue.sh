@@ -86,6 +86,23 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
   timeout 600 python -m tcgan_tpu.analysis.report "runs/$RUN" \
     -o "docs/artifacts/${RUN}_report.md" > "/tmp/${RUN}_report.log" 2>&1
   echo "[queue] report rc=$?" >&2
+  # BASELINE-ready markdown block + durable copies of the eval JSONs.
+  # The builder session can die at any time (the 04:27-07:17 window was
+  # a string of API-killed sessions), so the queue itself makes the
+  # science artifacts durable with a commit the moment they exist.
+  cp -f "/tmp/${RUN}_eval.json" "docs/artifacts/${RUN}_eval.json" 2>/dev/null
+  timeout 300 python docs/artifacts/record_flagship_result.py \
+    --run "runs/$RUN" --eval "docs/artifacts/${RUN}_eval.json" \
+    --uncertainty "docs/artifacts/${RUN}_uncertainty.json" \
+    > "docs/artifacts/${RUN}_result.md" 2>"/tmp/${RUN}_result.err"
+  echo "[queue] record rc=$?" >&2
+  git add "docs/artifacts/${RUN}_eval.json" \
+    "docs/artifacts/${RUN}_uncertainty.json" \
+    "docs/artifacts/${RUN}_result.md" \
+    "docs/artifacts/${RUN}_report.md" \
+    "docs/artifacts/${RUN}_fit.png" 2>/dev/null
+  git commit -m "Flagship ${RUN}: eval, uncertainty, fit figure, and result block (queue auto-record)" \
+    >> /tmp/queue.log 2>&1 || true
 fi
 
 if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
@@ -99,6 +116,15 @@ if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
     --jacobian docs/artifacts/jacobian_51013_rich.npz \
     -o docs/artifacts/mmens13.png > /tmp/mmens13_view.log 2>&1
   echo "[queue] ensemble_view rc=$?" >&2
+  # Durable-commit the ensemble science artifacts too (see eval block).
+  timeout 600 python -m tcgan_tpu.analysis.report runs/mmens13 \
+    -o docs/artifacts/mmens13_report.md > /tmp/mmens13_report.log 2>&1
+  git add docs/artifacts/mmens13.png docs/artifacts/mmens13_report.md 2>/dev/null
+  [ -f runs/mmens13/ensemble_summary.json ] && \
+    cp -f runs/mmens13/ensemble_summary.json docs/artifacts/mmens13_summary.json && \
+    git add docs/artifacts/mmens13_summary.json
+  git commit -m "mm-ensemble mmens13: seed spread vs identifiability spectrum (queue auto-record)" \
+    >> /tmp/queue.log 2>&1 || true
 fi
 
 # Chip-time permitting: a science-grade BPTT-gradient run (C3 config) so
