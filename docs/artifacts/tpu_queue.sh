@@ -77,9 +77,14 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
     --eval "runs/${RUN}_eval" -o "docs/artifacts/${RUN}_fit.png" \
     > "/tmp/${RUN}_fit.log" 2>&1
   echo "[queue] fit_quality rc=$?" >&2
-  # information-vs-optimization calibration verdict at the endpoint
-  timeout 900 python -m tcgan_tpu.analysis.uncertainty "runs/$RUN" \
-    --eval "runs/${RUN}_eval" $TRUTH \
+  # information-vs-optimization calibration verdict at the endpoint.
+  # NOTE the CLI shape: --run is a required FLAG and there is no --eval
+  # (validated end-to-end on a CPU toy run 2026-08-19 — the previous
+  # positional invocation exited 2 on argparse and would have burned the
+  # post-gate chain); model config + truth default-load from info.json,
+  # $TRUTH passed anyway as a defensive override.
+  timeout 900 python -m tcgan_tpu.analysis.uncertainty --run "runs/$RUN" \
+    $TRUTH \
     > "docs/artifacts/${RUN}_uncertainty.json" 2>"/tmp/${RUN}_unc.err"
   echo "[queue] uncertainty rc=$?" >&2
   # one-command markdown run report
