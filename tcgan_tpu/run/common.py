@@ -68,10 +68,22 @@ def add_ssn_flags(p: argparse.ArgumentParser):
                    default="xla",
                    help="fixed-point forward: lockstep XLA while_loop vs "
                         "fused Pallas kernel (TPU)")
-    g.add_argument("--check-every", type=int, default=1,
-                   help="convergence-check stride (Euler steps)")
-    g.add_argument("--pallas-block-b", type=int, default=8,
-                   help="circuits per Pallas kernel tile")
+    g.add_argument("--check-every", type=int, default=32,
+                   help="convergence-check stride (Euler steps). Default "
+                        "32 is the measured optimum on the v5e chip "
+                        "(kernel_probe_results.json: 312k solves/s vs "
+                        "296k at 16, 284k at 128 — fewer reductions, at "
+                        "most a stride of overshoot iterations); the "
+                        "solve returns the SAME fixed points at the same "
+                        "atol, only the stop check is strided. Use 1 to "
+                        "reproduce runs recorded before round 4c.")
+    g.add_argument("--pallas-block-b", type=int, default=16,
+                   help="circuits per Pallas kernel tile. Default 16 is "
+                        "the measured optimum on the v5e chip "
+                        "(kernel_probe_results.json: 313k solves/s vs "
+                        "272k at 8, 293k at 32); on-device kernel-vs-XLA "
+                        "parity at this tiling is gated every bench run "
+                        "(bench.py _parity).")
     g.add_argument("--pallas-two-phase", choices=("on", "off"), default="on",
                    help="fast-pass first loop + HIGHEST-precision tail")
     g.add_argument("--pallas-refine", choices=("on", "off"), default="on",
