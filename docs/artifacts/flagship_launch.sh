@@ -1,0 +1,28 @@
+#!/bin/bash
+# The ONLY sanctioned way to (re)start the flagship by hand.
+#
+# The 07:31 dual-writer incident (rec13anchor4_incident_0731.md) was a
+# manual `nohup $(flagship_cmd) &` racing the watchdog's own resume:
+# the manual pid never entered $PIDFILE, so two processes appended to
+# the same datastore for 77 minutes. This wrapper makes that impossible:
+#   - refuses while $PIDFILE points at a live process,
+#   - refuses while the watchdog's $RESUMEFILE is fresh (a watchdog
+#     relaunch is in flight),
+#   - takes the pidfile slot BEFORE exec'ing, exactly like the watchdog.
+set -eu
+cd /root/repo
+. docs/artifacts/flagship_env.sh
+
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
+  echo "refusing: flagship already running (pid $(cat "$PIDFILE"))" >&2
+  exit 1
+fi
+if resume_pending; then
+  echo "refusing: watchdog resume in flight ($RESUMEFILE fresh)" >&2
+  exit 1
+fi
+touch "$RESUMEFILE"
+nohup $(flagship_cmd) >> "/tmp/${RUN}.log" 2>&1 &
+echo $! > "$PIDFILE"
+rm -f "$RESUMEFILE"
+echo "flagship launched: pid $(cat "$PIDFILE"), log /tmp/${RUN}.log"

@@ -16,7 +16,11 @@ TS = np.array([0.25, 0.1, 0.25, 0.1])
 
 rows = list(csv.reader(open(f"{run}/generator.csv")))
 data = np.array(rows[1:], dtype=float)
-data = data[np.argsort(data[:, 0])]
+# keep-LAST row per step (stable sort preserves file order within equal
+# steps): survivor-lineage view during the 07:31 dual-writer overlap
+# window — see rec13anchor4_incident_0731.md
+data = data[np.argsort(data[:, 0], kind="stable")]
+data = data[np.append(data[1:, 0] != data[:-1, 0], True)]
 step = data[:, 0]
 eJ = np.abs(data[:, 1:5] / TJ - 1).mean(1) * 100
 eD = np.abs(data[:, 5:9] / TD - 1).mean(1) * 100

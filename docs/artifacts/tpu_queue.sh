@@ -64,6 +64,12 @@ left() { echo $(( END_AT - $(date -u +%s) )); }
 TRUTH="--true-J 0.045 0.04 0.05 0.035 --true-D 0.1 0.08 0.1 0.08 --true-S 0.25 0.1 0.25 0.1"
 
 if flagship_started && [ "$(left)" -ge 420 ]; then
+  # Strip the 07:31 dual-writer duplicates (keep-last per step — see
+  # rec13anchor4_incident_0731.md) BEFORE anything reads the curves.
+  # Safe here: the flagship pid is dead past the wait loop, and the
+  # script refuses on a live pidfile anyway.
+  timeout 300 python docs/artifacts/dedup_datastore.py "runs/$RUN" \
+    >> /tmp/queue.log 2>&1
   echo "[queue] $(date -u +%H:%M:%S) eval $RUN (bound $(left)s)" >&2
   timeout "$(left)" python -u -m tcgan_tpu.run.eval --run "runs/$RUN" \
     --datastore "runs/${RUN}_eval" $TRUTH \

@@ -11,6 +11,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import json
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List
 
@@ -39,10 +40,29 @@ def _read_csv(path: Path) -> Dict[str, np.ndarray]:
 
 
 def _read_jsonl(path: Path) -> List[dict]:
+    """Parse a JSONL stream, SKIPPING torn lines.
+
+    A process killed mid-write (preemption, watchdog hang-kill) leaves a
+    truncated final line, and a resume-truncation racing a concurrent
+    writer can tear a line mid-file (observed 2026-08-19, see
+    docs/artifacts/rec13anchor4_incident_0731.md) — neither should make
+    every later analysis of the run crash.
+    """
     if not path.exists():
         return []
+    out, torn = [], 0
     with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+        for line in fh:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                torn += 1
+    if torn:
+        warnings.warn(f"{path}: skipped {torn} unparseable JSONL line(s) "
+                      "(torn write from a kill/preemption?)")
+    return out
 
 
 @dataclasses.dataclass

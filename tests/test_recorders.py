@@ -113,3 +113,39 @@ def test_recorder_truncate_from(tmp_path):
     assert rows[-1][1] == "999"
     steps = [json.loads(l)["step"] for l in open(tmp_path / "x.jsonl")]
     assert steps == [0, 1, 2]
+
+
+def test_dedup_datastore_keep_last(tmp_path):
+    """Post-incident repair tool (docs/artifacts/dedup_datastore.py):
+    dual-writer interleaved rows collapse to the LAST occurrence per
+    step, preserving single-writer rows untouched."""
+    import subprocess
+    import sys
+
+    run = tmp_path / "run"
+    run.mkdir()
+    # interleaved lineages: A writes 1,2,3; B (later, the survivor)
+    # writes 2,3,4 — keep-last must keep A's 1 and B's 2,3,4
+    (run / "generator.csv").write_text(
+        "step,v\n1,a1\n2,a2\n2,b2\n3,a3\n3,b3\n4,b4\n")
+    (run / "learning.jsonl").write_text(
+        '{"step": 1, "v": "a"}\n{"step": 1, "v": "b"}\n'
+        '{"step": 2, "v": "b"}\n{"step": 3, "v": "TORN{"ste\n')
+    r = subprocess.run(
+        [sys.executable, "docs/artifacts/dedup_datastore.py", str(run),
+         "--pidfile", str(tmp_path / "nonexistent.pid")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert (run / "generator.csv").read_text() == (
+        "step,v\n1,a1\n2,b2\n3,b3\n4,b4\n")
+    lines = (run / "learning.jsonl").read_text().splitlines()
+    assert [json.loads(l)["v"] for l in lines] == ["b", "b"]
+    # refusal path: a live pidfile (this test's own pid) blocks the tool
+    import os
+    live = tmp_path / "live.pid"
+    live.write_text(str(os.getpid()))
+    r2 = subprocess.run(
+        [sys.executable, "docs/artifacts/dedup_datastore.py", str(run),
+         "--pidfile", str(live)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode != 0 and "refusing" in r2.stderr
