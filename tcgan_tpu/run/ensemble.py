@@ -167,6 +167,7 @@ def _run_mm(args, gen_cfg) -> int:
     from tcgan_tpu.train.checkpoint import CheckpointManager
     from tcgan_tpu.train.datastore import (DataStore,
                                            PervasiveDivergenceError)
+    from tcgan_tpu.train.driver import GracefulStop
     from tcgan_tpu.train.recorders import CSVRecorder
     from tcgan_tpu.utils.stopwatch import StopWatch
 
@@ -225,8 +226,13 @@ def _run_mm(args, gen_cfg) -> int:
 
     divergence_strikes = 0
     status = "finished"
+    stop = GracefulStop()  # SIGTERM (queue timeout/preemption) finishes
+    stop.__enter__()       # the step, then falls through to the summary
     try:
         for step in range(start, start + args.n_steps):
+            if stop.requested:
+                status = "interrupted"
+                break
             key, k_step = jax.random.split(key)
             member_keys = jax.random.split(k_step, K)
             with watch.time("train"):
@@ -265,6 +271,7 @@ def _run_mm(args, gen_cfg) -> int:
         status = f"aborted: {e}"
     finally:
         rec.close()
+        stop.__exit__()
 
     ckpt.save(int(np.asarray(states.step)[0]), states)
     ckpt.close()
@@ -295,6 +302,7 @@ def _run(args, gen_cfg, step_fn, model) -> int:
     from tcgan_tpu.train.checkpoint import CheckpointManager
     from tcgan_tpu.train.datastore import (DataStore,
                                            PervasiveDivergenceError)
+    from tcgan_tpu.train.driver import GracefulStop
     from tcgan_tpu.train.recorders import CSVRecorder
     from tcgan_tpu.utils.stopwatch import StopWatch
 
@@ -400,8 +408,13 @@ def _run(args, gen_cfg, step_fn, model) -> int:
 
     divergence_strikes = 0
     status = "finished"
+    stop = GracefulStop()  # see _run_mm: summary survives a SIGTERM
+    stop.__enter__()
     try:
         for step in range(start, start + args.n_steps):
+            if stop.requested:
+                status = "interrupted"
+                break
             key, k_data, k_step = jax.random.split(key, 3)
             n_critic = cfg.n_critic0 if step == 0 else cfg.n_critic
             stacks = sample_real(k_data, K * n_critic)
@@ -441,6 +454,7 @@ def _run(args, gen_cfg, step_fn, model) -> int:
         status = f"aborted: {e}"
     finally:
         rec.close()
+        stop.__exit__()
 
     ckpt.save(int(np.asarray(states.step)[0]), states)
     ckpt.close()

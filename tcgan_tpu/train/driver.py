@@ -84,6 +84,11 @@ class _GracefulStop:
         return False
 
 
+# Public name: run/ensemble.py's step loops install the same
+# preemption-safe stop (timeout(1)-bounded queue items deliver SIGTERM).
+GracefulStop = _GracefulStop
+
+
 @dataclasses.dataclass(frozen=True)
 class DriverConfig:
     n_steps: int = 1000

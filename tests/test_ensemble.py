@@ -338,3 +338,57 @@ def test_ensemble_flag_contradictions_error_loudly():
                   ["--record-every", "0"]):
         with pytest.raises(SystemExit):
             ens_run.main(base + extra)
+
+
+def test_mm_ensemble_sigterm_still_writes_summary(tmp_path):
+    """Preemption safety: a SIGTERM mid-run (queue `timeout`, pool
+    preemption) must still produce ensemble_summary.json/params.npz with
+    status "interrupted" — the queue's post-processing chain depends on
+    the summary existing (docs/artifacts/tpu_queue.sh)."""
+    import signal
+    import threading
+
+    from tcgan_tpu.run import ensemble as ens_cli
+
+    d = str(tmp_path / "enssig")
+
+    # Raise SIGTERM only once the step loop is demonstrably live (first
+    # ensemble.csv row) — earlier, the handler isn't installed yet and
+    # the default action would kill the test process itself.
+    import os
+    import time
+    stop_probe = threading.Event()
+
+    def _fire():
+        deadline = time.time() + 120
+        path = f"{d}/ensemble.csv"
+        while time.time() < deadline and not stop_probe.is_set():
+            try:
+                with open(path) as fh:
+                    n_lines = sum(1 for _ in fh)
+                if n_lines >= 2:  # header + >=1 data row
+                    signal.raise_signal(signal.SIGTERM)
+                    return
+            except OSError:
+                pass
+            time.sleep(0.05)
+
+    t = threading.Thread(target=_fire, daemon=True)
+    t.start()
+    try:
+        rc = ens_cli.main([
+            "--datastore", d,
+            *TINY_CLI,
+            "--batch-size", "4", "--n-steps", "100000",
+            "--truth-samples", "8",
+            "--estimator", "mm", "--moment-ema", "0.9",
+            "--ensemble", "2", "--record-every", "1",
+        ])
+    finally:
+        stop_probe.set()
+    assert rc == 0
+    summary = json.loads(open(f"{d}/ensemble_summary.json").read())
+    assert summary["n_members"] == 2
+    assert np.load(f"{d}/ensemble_params.npz")["J"].shape == (2, 2, 2)
+    info = json.loads(open(f"{d}/info.json").read())
+    assert info["status"] == "interrupted"
