@@ -102,9 +102,12 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
   # a string of API-killed sessions), so the queue itself makes the
   # science artifacts durable with a commit the moment they exist.
   cp -f "/tmp/${RUN}_eval.json" "docs/artifacts/${RUN}_eval.json" 2>/dev/null
+  # --tail 1000 matches the recovery gate's averaging window: a 2000-step
+  # tail over a still-descending trajectory would report a WORSE error
+  # than the window the gate actually certified.
   timeout 300 python docs/artifacts/record_flagship_result.py \
     --run "runs/$RUN" --eval "docs/artifacts/${RUN}_eval.json" \
-    --uncertainty "docs/artifacts/${RUN}_uncertainty.json" \
+    --uncertainty "docs/artifacts/${RUN}_uncertainty.json" --tail 1000 \
     > "docs/artifacts/${RUN}_result.md" 2>"/tmp/${RUN}_result.err"
   echo "[queue] record rc=$?" >&2
   git add "docs/artifacts/${RUN}_eval.json" \
