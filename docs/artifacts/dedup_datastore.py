@@ -16,8 +16,12 @@ import json
 import os
 import sys
 
-CSVS = ("generator.csv", "learning.csv", "disc_learning.csv",
-        "disc_param_stats.csv")
+# CSV name -> how many leading columns form the row's identity.
+# disc_learning.csv records one row PER CRITIC ITERATION, so its key is
+# (step, critic_iter) — keying on step alone would collapse the 5-6
+# legitimate critic rows of every step into one.
+CSVS = {"generator.csv": 1, "learning.csv": 1, "disc_learning.csv": 2,
+        "disc_param_stats.csv": 1}
 JSONLS = ("learning.jsonl", "tc_mean.jsonl")
 
 
@@ -49,15 +53,39 @@ def main():
             pass
 
     total = 0
-    for name in CSVS:
+    for name, key_cols in CSVS.items():
         path = os.path.join(run, name)
         if not os.path.exists(path):
             continue
         with open(path) as f:
             header = f.readline()
             rows = f.readlines()
+        # Drop torn rows BEFORE the keep-last dedup — a truncated fragment
+        # from a killed writer ('41230,0.05') must not out-rank the later
+        # complete row for the same step, or the gate/monitor float parse
+        # breaks. A row is whole iff it has the header's column count and
+        # every field parses as float.
+        n_cols = len(header.rstrip("\n").split(","))
+
+        def _whole(ln):
+            fields = ln.rstrip("\n").split(",")
+            if len(fields) != n_cols:
+                return False
+            try:
+                # empty fields are legitimate (timing columns are only
+                # filled every --timing-every steps) — but the step
+                # column itself must parse
+                float(fields[0])
+                [float(x) for x in fields if x != ""]
+            except ValueError:
+                return False
+            return True
+
+        whole = [ln for ln in rows if _whole(ln)]
+        torn = len(rows) - len(whole)
         deduped, dropped = dedup_lines(
-            rows, lambda ln: ln.split(",", 1)[0])
+            whole, lambda ln: tuple(ln.split(",")[:key_cols]))
+        dropped += torn
         if dropped:
             tmp = path + ".dedup"
             with open(tmp, "w") as f:
@@ -77,11 +105,16 @@ def main():
         # Drop torn lines outright (interleaved/truncated writes from the
         # dual-writer window are garbage, not data), then dedup by step.
         parsed, torn = [], 0
-        for ln in rows:
+        for i, ln in enumerate(rows):
             try:
-                parsed.append((json.loads(ln).get("step"), ln))
+                step = json.loads(ln).get("step")
             except json.JSONDecodeError:
                 torn += 1
+                continue
+            # A step-less record is NOT a duplicate of every other
+            # step-less record — key it by position so it survives.
+            parsed.append((step if step is not None else ("nostep", i),
+                           ln))
         kept, dropped = dedup_lines(parsed, lambda p: p[0])
         deduped = [ln for _, ln in kept]
         dropped += torn

@@ -21,6 +21,11 @@ if resume_pending; then
   echo "refusing: watchdog resume in flight ($RESUMEFILE fresh)" >&2
   exit 1
 fi
+# A deliberate manual launch supersedes any earlier intentional stop:
+# clear the stopfile, or every watchdog started for this RUN exits at
+# its first loop ('queue stopped the run on purpose') and the new
+# flagship runs with no crash/hang protection.
+rm -f "$STOPFILE"
 touch "$RESUMEFILE"
 nohup $(flagship_cmd) >> "/tmp/${RUN}.log" 2>&1 &
 echo $! > "$PIDFILE"

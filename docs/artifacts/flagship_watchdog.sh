@@ -64,5 +64,10 @@ while :; do
   nohup $(flagship_cmd) >> "/tmp/${RUN}.log" 2>&1 &
   echo $! > "$PIDFILE"
   rm -f "$RESUMEFILE"
+  # Reset the stall clock: the relaunched process inherits the dead
+  # run's stale generator.csv mtime and writes nothing until
+  # restore+recompile completes — without this, a cold-cache resume
+  # slower than sleep(300)+STALL_S gets hang-killed mid-compile, forever.
+  [ -f "runs/$RUN/generator.csv" ] && touch "runs/$RUN/generator.csv"
   sleep 300   # give the resume time to restore + recompile before re-checking
 done

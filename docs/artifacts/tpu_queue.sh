@@ -37,9 +37,19 @@ while :; do
     # the watchdog's kill-and-relaunch of a wedged process and start the
     # eval chain on a half-finished run (fired 2026-08-19 07:30).
     if resume_pending; then sleep 30; continue; fi
-    # Double-check after a grace period: the watchdog may be between its
-    # kill and its sentinel touch for at most a few seconds.
-    sleep 20
+    # Finished vs crashed: an intentional stop ($STOPFILE), a cleared
+    # gate, or a last step at/near N_STEPS means the flagship is DONE —
+    # break immediately. Anything else may be a crash the watchdog
+    # hasn't seen yet (it polls every 60 s; its sentinel only covers the
+    # hang-kill path), so grant a full 90 s for it to claim the dead pid
+    # before declaring the run finished and evaluating a partial fit.
+    step=$(last_step)
+    if [ -f "$STOPFILE" ] || gate_cleared \
+        || { [ -n "$step" ] && [ "$step" != "step" ] \
+             && [ "${step%.*}" -ge $((N_STEPS - 100)) ]; }; then
+      break
+    fi
+    sleep 90
     if { [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; } || resume_pending; then
       continue
     fi
@@ -115,8 +125,19 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
     "docs/artifacts/${RUN}_result.md" \
     "docs/artifacts/${RUN}_report.md" \
     "docs/artifacts/${RUN}_fit.png" 2>/dev/null
-  git commit -m "Flagship ${RUN}: eval, uncertainty, fit figure, and result block (queue auto-record)" \
-    >> /tmp/queue.log 2>&1 || true
+  # pathspec commit: only the artifact files, never whatever the builder
+  # session happens to have staged in the shared repo. Only EXISTING
+  # files go in the pathspec — one missing path aborts the whole commit.
+  arts=""
+  for f in "docs/artifacts/${RUN}_eval.json" \
+           "docs/artifacts/${RUN}_uncertainty.json" \
+           "docs/artifacts/${RUN}_result.md" \
+           "docs/artifacts/${RUN}_report.md" \
+           "docs/artifacts/${RUN}_fit.png"; do
+    [ -f "$f" ] && arts="$arts $f"
+  done
+  [ -n "$arts" ] && git commit -m "Flagship ${RUN}: eval, uncertainty, fit figure, and result block (queue auto-record)" \
+    -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
 if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
@@ -137,8 +158,13 @@ if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
   [ -f runs/mmens13/ensemble_summary.json ] && \
     cp -f runs/mmens13/ensemble_summary.json docs/artifacts/mmens13_summary.json && \
     git add docs/artifacts/mmens13_summary.json
-  git commit -m "mm-ensemble mmens13: seed spread vs identifiability spectrum (queue auto-record)" \
-    >> /tmp/queue.log 2>&1 || true
+  arts=""
+  for f in docs/artifacts/mmens13.png docs/artifacts/mmens13_report.md \
+           docs/artifacts/mmens13_summary.json; do
+    [ -f "$f" ] && arts="$arts $f"
+  done
+  [ -n "$arts" ] && git commit -m "mm-ensemble mmens13: seed spread vs identifiability spectrum (queue auto-record)" \
+    -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
 # Chip-time permitting: a science-grade BPTT-gradient run (C3 config) so

@@ -44,8 +44,13 @@ def gate_status(run_dir, true_J, true_D, gate: float,
     # column (generator.csv happens to record every step today, but the
     # gate must not silently cover window*cadence steps if the recorder
     # cadence is ever thinned — ADVICE r3 #5).
-    i0 = int(np.searchsorted(steps, steps[-1] - window))
-    if i0 >= n - 1 or steps[-1] - steps[i0] < window:
+    # Row AT-OR-BEFORE the window start: side='right' - 1. A side='left'
+    # search lands one row INSIDE the window whenever no row's step
+    # exactly equals steps[-1]-window (any cadence not dividing the
+    # window, or offset steps after a resume), making the span check
+    # below fail forever — 'trajectory too short' on an ever-growing run.
+    i0 = int(np.searchsorted(steps, steps[-1] - window, side="right")) - 1
+    if i0 < 0 or i0 >= n - 1 or steps[-1] - steps[i0] < window:
         return {"cleared": False,
                 "reason": (f"trajectory too short: rows cover "
                            f"{int(steps[-1] - steps[0])} steps, window "

@@ -251,6 +251,15 @@ def test_recovery_gate(tmp_path, capsys):
     # run shorter than the window -> not cleared
     write_csv(0.05, n_rows=5)
     assert recovery_gate.main(args) == 1
+    # cadence that does NOT divide the window (regression: a left-side
+    # searchsorted landed one row inside the window when no row's step
+    # equals steps[-1]-window, failing 'trajectory too short' forever):
+    # rows 300 steps apart, truth over the whole run, window 1000
+    rows = [",".join(cols)] + [
+        ",".join([str(s * 300)] + ["0.05"] * 4 + ["0.1"] * 8)
+        for s in range(30)]
+    (d / "generator.csv").write_text("\n".join(rows) + "\n")
+    assert recovery_gate.main(args) == 0
     # truth override beats info.json: truth J=0.08 makes the 0.08 tail pass
     write_csv(0.08)
     assert recovery_gate.main(args + ["--true-J", "0.08", "0.08",

@@ -126,20 +126,29 @@ def test_dedup_datastore_keep_last(tmp_path):
     run.mkdir()
     # interleaved lineages: A writes 1,2,3; B (later, the survivor)
     # writes 2,3,4 — keep-last must keep A's 1 and B's 2,3,4
+    # a1..b4 are float-parseable values (the tool drops rows whose
+    # fields don't parse); 2,9 vs 2,90 etc distinguish lineages. Torn
+    # fragments (wrong column count / unparseable step) must be dropped
+    # even when they'd win keep-last.
     (run / "generator.csv").write_text(
-        "step,v\n1,a1\n2,a2\n2,b2\n3,a3\n3,b3\n4,b4\n")
+        "step,v,w\n1,10,0\n2,20,0\n2,21,0\n3,30,0\n3,31,0\n"
+        "4,40,0\n4,41\n5,5e\n")
     (run / "learning.jsonl").write_text(
         '{"step": 1, "v": "a"}\n{"step": 1, "v": "b"}\n'
-        '{"step": 2, "v": "b"}\n{"step": 3, "v": "TORN{"ste\n')
+        '{"step": 2, "v": "b"}\n{"step": 3, "v": "TORN{"ste\n'
+        '{"note": "meta1"}\n{"note": "meta2"}\n')
     r = subprocess.run(
         [sys.executable, "docs/artifacts/dedup_datastore.py", str(run),
          "--pidfile", str(tmp_path / "nonexistent.pid")],
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr
     assert (run / "generator.csv").read_text() == (
-        "step,v\n1,a1\n2,b2\n3,b3\n4,b4\n")
+        "step,v,w\n1,10,0\n2,21,0\n3,31,0\n4,40,0\n")
     lines = (run / "learning.jsonl").read_text().splitlines()
-    assert [json.loads(l)["v"] for l in lines] == ["b", "b"]
+    # keep-last per step; torn line dropped; BOTH step-less records kept
+    parsed = [json.loads(l) for l in lines]
+    assert [p.get("v", p.get("note")) for p in parsed] == [
+        "b", "b", "meta1", "meta2"]
     # refusal path: a live pidfile (this test's own pid) blocks the tool
     import os
     live = tmp_path / "live.pid"
