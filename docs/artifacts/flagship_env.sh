@@ -130,27 +130,15 @@ last_step() {
 # science run (needs ~110 min before END_AT) instead of polishing until
 # STOP_AT and squeezing both out.
 RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
+# Delegates to the first-class gate CLI (tcgan_tpu.analysis.recovery_gate)
+# instead of an inline re-implementation: one gate, truth loaded from the
+# run's own info.json, window measured in STEPS via the actual step
+# column (duplicate rows / thinned cadence cannot skew it). Exit 2
+# (missing truth) counts as not-cleared, which is the safe direction.
 gate_cleared() {
   GATE_PCT=$([ "$(date -u +%s)" -ge "$RELAX_AT" ] && echo 0.095 || echo 0.07)
-  RUN="$RUN" GATE_PCT="$GATE_PCT" python - <<'EOF'
-import csv, os, sys
-import numpy as np
-try:
-    rows = list(csv.reader(open(f"runs/{os.environ['RUN']}/generator.csv")))
-    data = np.array(rows[1:], dtype=float)
-except Exception:
-    sys.exit(1)
-TJ = np.array([0.045, 0.04, 0.05, 0.035])
-TD = np.array([0.1, 0.08, 0.1, 0.08])
-if len(data) < 1001:
-    sys.exit(1)
-pct = float(os.environ.get("GATE_PCT", "0.07"))
-tail = data[[-1001, -501, -1]]
-ok = (tail[:, 0].min() >= float(os.environ.get("GATE_STEP", "15000"))
-      and (np.abs(tail[:, 1:5] / TJ - 1).mean(1) <= pct).all()
-      and (np.abs(tail[:, 5:9] / TD - 1).mean(1) <= pct).all())
-sys.exit(0 if ok else 1)
-EOF
+  python -m tcgan_tpu.analysis.recovery_gate "runs/$RUN" \
+    --gate "$GATE_PCT" --min-step "$GATE_STEP" --window 1000 --quiet
 }
 
 # The one flagship command line (launch and watchdog resume are the SAME
