@@ -105,8 +105,13 @@ resume_pending() {
   age=$(( $(date -u +%s) - $(stat -c %Y "$RESUMEFILE") ))
   [ "$age" -le "$RESUME_FRESH_S" ]
 }
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 13:45" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 14:15" +%s)}
+# 10:40 revision: STOP_AT moved 13:45 -> 12:50. The mm-ensemble queue
+# item requires >=6000 s before END_AT at its launch (i.e. start by
+# ~13:20, after the ~25-min eval chain), so a flagship polishing until
+# 13:45 would silently forfeit mmens13 for a marginal gain (J ~9.2% at
+# 12:50 vs ~8.8% projected at 13:45 — both pass the 10% bar).
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 12:50" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 13:05" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}
@@ -130,13 +135,20 @@ last_step() {
 # science run (needs ~110 min before END_AT) instead of polishing until
 # STOP_AT and squeezing both out.
 RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
+# Final tier: J oscillates 8.6-9.6% at the anchor/critic equilibrium, so
+# a 9.5% gate can miss on sampling luck alone; from RELAX2_AT anything
+# strictly under the round's 10% bar stops the run with time to spare.
+RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-19 12:15" +%s)}
 # Delegates to the first-class gate CLI (tcgan_tpu.analysis.recovery_gate)
 # instead of an inline re-implementation: one gate, truth loaded from the
 # run's own info.json, window measured in STEPS via the actual step
 # column (duplicate rows / thinned cadence cannot skew it). Exit 2
 # (missing truth) counts as not-cleared, which is the safe direction.
 gate_cleared() {
-  GATE_PCT=$([ "$(date -u +%s)" -ge "$RELAX_AT" ] && echo 0.095 || echo 0.07)
+  now_s=$(date -u +%s)
+  if [ "$now_s" -ge "$RELAX2_AT" ]; then GATE_PCT=0.0999
+  elif [ "$now_s" -ge "$RELAX_AT" ]; then GATE_PCT=0.095
+  else GATE_PCT=0.07; fi
   python -m tcgan_tpu.analysis.recovery_gate "runs/$RUN" \
     --gate "$GATE_PCT" --min-step "$GATE_STEP" --window 1000 --quiet
 }
