@@ -73,6 +73,10 @@ sleep 10
 left() { echo $(( END_AT - $(date -u +%s) )); }
 TRUTH="--true-J 0.045 0.04 0.05 0.035 --true-D 0.1 0.08 0.1 0.08 --true-S 0.25 0.1 0.25 0.1"
 
+# params-source npz_ema: the run trains with --gen-ema 0.999, and the
+# EMA params are the principled estimator for an endpoint that
+# oscillates in the anchor's curved valley (measured at step 11k:
+# raw J 10.1% vs EMA J 9.6% — the EMA reads the oscillation center).
 if flagship_started && [ "$(left)" -ge 420 ]; then
   # Strip the 07:31 dual-writer duplicates (keep-last per step — see
   # rec13anchor4_incident_0731.md) BEFORE anything reads the curves.
@@ -84,7 +88,7 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
   timeout "$(left)" python -u -m tcgan_tpu.run.eval --run "runs/$RUN" \
     --datastore "runs/${RUN}_eval" $TRUTH \
     --truth-samples 4096 --truth-batch 4096 --truth-tries-factor 16 \
-    --eval-samples 2048 --params-source csv \
+    --eval-samples 2048 --params-source npz_ema \
     > "/tmp/${RUN}_eval.json" 2>"/tmp/${RUN}_eval.err"
   echo "[queue] eval rc=$?" >&2
   # host-side one-page fit figure (learning curves + trajectories + TC
