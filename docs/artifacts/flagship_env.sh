@@ -110,8 +110,14 @@ resume_pending() {
 # ~13:20, after the ~25-min eval chain), so a flagship polishing until
 # 13:45 would silently forfeit mmens13 for a marginal gain (J ~9.2% at
 # 12:50 vs ~8.8% projected at 13:45 — both pass the 10% bar).
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 12:50" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 13:05" +%s)}
+# 11:10 re-balance: J is plateauing at ~10% while D finishes its ridge
+# ascent; the post-settle J descent needs steps, and the step rate
+# dropped back to ~1.5 s/step. STOP_AT 12:50 -> 13:25, funded by
+# cutting the mm-ensemble's launch threshold instead of dropping it
+# (run.ensemble is preemption-safe now — a truncated run still writes
+# its summary).
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 13:25" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 13:40" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}

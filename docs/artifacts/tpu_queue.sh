@@ -144,7 +144,10 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
     -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
-if [ "$(left)" -ge 6000 ] && [ ! -d runs/mmens13 ]; then
+# Threshold 3000 s (was 6000): run.ensemble now survives its timeout
+# gracefully (summary + checkpoint at whatever step it reached), and a
+# ~2.5k-step ensemble from 5% jitter already measures the seed spread.
+if [ "$(left)" -ge 3000 ] && [ ! -d runs/mmens13 ]; then
   echo "[queue] $(date -u +%H:%M:%S) launching mmens13 (bound $(($(left) - 600))s)" >&2
   timeout "$(($(left) - 600))" bash docs/artifacts/launch_mmens13.sh \
     > /tmp/mmens13.log 2>&1
