@@ -140,11 +140,14 @@ last_step() {
 # at 8-9% stops in time for the eval chain AND the queued mm-ensemble
 # science run (needs ~110 min before END_AT) instead of polishing until
 # STOP_AT and squeezing both out.
-RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 11:30" +%s)}
-# Final tier: J oscillates 8.6-9.6% at the anchor/critic equilibrium, so
-# a 9.5% gate can miss on sampling luck alone; from RELAX2_AT anything
-# strictly under the round's 10% bar stops the run with time to spare.
-RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-19 12:15" +%s)}
+# 11:15 retiming: J turned and is descending (~-0.2..-0.5%/1k) with D
+# settled — every extra minute now BUYS headline quality, and the
+# mm-ensemble is already funded by the 3000 s threshold. The relaxed
+# tiers are end-of-window backstops, not early exits: strict 7% (a
+# dream outcome stops immediately) until 13:00, 9.5% from 13:00, 9.99%
+# from 13:10, deadline 13:25.
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 13:00" +%s)}
+RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-19 13:10" +%s)}
 # Delegates to the first-class gate CLI (tcgan_tpu.analysis.recovery_gate)
 # instead of an inline re-implementation: one gate, truth loaded from the
 # run's own info.json, window measured in STEPS via the actual step
