@@ -88,7 +88,18 @@
 #   STOP_AT   13:45 — stop a RUNNING flagship (leaves eval-queue room)
 #   LAST_CALL 14:15 — absolute flagship stop
 #   END_AT    15:00 — hard end for queue TPU work (driver bench after)
+# Phase 6 (11:55 UTC): anchor ENDGAME. At step ~15.7k the run sits in a
+# bounded anti-phase J/D cycle (J 9.9 +/- 0.4%, D 5.0 +/- 0.4%) — the
+# measured anchor/critic force balance (anchor_equilibrium_probe.json:
+# the critic's pull is 90x weaker than the anchor's and pure tax at
+# this point; its lr schedule already cools it 2x every 12k steps).
+# The endgame finishes what the schedule does asymptotically: resume
+# with the ADVERSARIAL generator lr zeroed (GEN_LR 1e-8) while the
+# anchor (K=8 x 1e-3, gamma 0.995 — mm13fix's proven-stable endgame
+# dynamics) carries the final descent. Same run, same CLI, recorded in
+# info.json on resume; the learning curve shows the phase boundary.
 RUN=${RUN:-rec13anchor4}
+GEN_LR=${GEN_LR:-1e-8}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
 STOPFILE=${STOPFILE:-/tmp/${RUN}.stopped}   # queue drops this on ANY intentional stop
 # Watchdog touches this BEFORE killing/relaunching a wedged or crashed
@@ -184,7 +195,7 @@ flagship_cmd() {
     --reject-unconverged --rate-cost 0.05 \
     --moment-anchor "$ANCHOR" --anchor-ema "$ANCHOR_EMA" \
     --anchor-beta1 "$ANCHOR_B1" --anchor-updates "$ANCHOR_UPDATES" \
-    --gen-learn-rate 1e-4 --disc-learn-rate 1e-3 \
+    --gen-learn-rate "$GEN_LR" --disc-learn-rate 1e-3 \
     --critic-lr-decay-steps 0 --lr-decay-steps 12000 \
     --gen-ema 0.999 --clip-grad 1.0 \
     --solver-backend pallas --checkpoint-every 1000 --timing-every 500
