@@ -98,6 +98,14 @@
 # anchor (K=8 x 1e-3, gamma 0.995 — mm13fix's proven-stable endgame
 # dynamics) carries the final descent. Same run, same CLI, recorded in
 # info.json on resume; the learning curve shows the phase boundary.
+# Phase 6b (12:30 UTC): the orbit is ANCHOR-INTERNAL — 2k critic-free
+# steps at gamma 0.995 still orbit (J center 10.12 -> 9.91 -> 10.29 over
+# 16k-18.9k). The run family's own history has the measured fix: gamma
+# 0.9 killed exactly this lag cycle and descended J steadily
+# (rec13anchor3 phase 1: 25.9% -> 6.9% at 0.7-1%/1k). Its known cost —
+# D-signal starvation — is moot in the endgame: D is already AT ~5.2%
+# and only needs to hold. At K=8 the lag is ~1 GAN step; per-update lr
+# stays at the proven 1e-3.
 RUN=${RUN:-rec13anchor4}
 GEN_LR=${GEN_LR:-1e-8}
 PIDFILE=${PIDFILE:-/tmp/${RUN}.pid}
@@ -133,7 +141,7 @@ END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}
 ANCHOR=${ANCHOR:-1e-3}
-ANCHOR_EMA=${ANCHOR_EMA:-0.995}
+ANCHOR_EMA=${ANCHOR_EMA:-0.9}   # phase 6b: orbit-killing endgame window
 ANCHOR_B1=${ANCHOR_B1:-0.5}
 ANCHOR_UPDATES=${ANCHOR_UPDATES:-8}
 
