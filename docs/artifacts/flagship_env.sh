@@ -98,6 +98,18 @@
 # anchor (K=8 x 1e-3, gamma 0.995 — mm13fix's proven-stable endgame
 # dynamics) carries the final descent. Same run, same CLI, recorded in
 # info.json on resume; the learning curve shows the phase boundary.
+# Phase 6c (13:10 UTC): 6b OUTCOME — gamma 0.9's fast drift raced the
+# ridge: J crushed 10.7 -> 6.5% but the exchange pushed D 5.4 -> 13.3%
+# (at gamma 0.9 D's restoring signal is below the EMA noise floor, so
+# nothing held it — the starvation cost was NOT moot off-equilibrium).
+# Orbax retention had deleted the phase-5 ckpt, so the honest path is
+# forward: resume the 6b endpoint at the PROVEN gamma 0.995 — at D 13%
+# the anchor's restoring force is strong (it drove D 30 -> 5% in phase
+# 5), and the reverse exchange is lossy in our favor (6b bought J -4.2%
+# for D +7.9%; the 0.995 reversal at phase-4's measured rates descends
+# D ~1.5-2%/1k while J gives back less than half) — forecast: both
+# J,D <= 9% within ~3-4k steps, gate tiers 9.5/9.99 already active.
+#
 # Phase 6b (12:30 UTC): the orbit is ANCHOR-INTERNAL — 2k critic-free
 # steps at gamma 0.995 still orbit (J center 10.12 -> 9.91 -> 10.29 over
 # 16k-18.9k). The run family's own history has the measured fix: gamma
@@ -135,13 +147,13 @@ resume_pending() {
 # cutting the mm-ensemble's launch threshold instead of dropping it
 # (run.ensemble is preemption-safe now — a truncated run still writes
 # its summary).
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 13:25" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 13:40" +%s)}
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-19 14:05" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-19 14:15" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-19 15:00" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-60000}
 ANCHOR=${ANCHOR:-1e-3}
-ANCHOR_EMA=${ANCHOR_EMA:-0.9}   # phase 6b: orbit-killing endgame window
+ANCHOR_EMA=${ANCHOR_EMA:-0.995} # phase 6c: restore the proven window (see header)
 ANCHOR_B1=${ANCHOR_B1:-0.5}
 ANCHOR_UPDATES=${ANCHOR_UPDATES:-8}
 

@@ -30,4 +30,9 @@ touch "$RESUMEFILE"
 nohup $(flagship_cmd) >> "/tmp/${RUN}.log" 2>&1 &
 echo $! > "$PIDFILE"
 rm -f "$RESUMEFILE"
+# Reset the watchdog's stall clock (same as its own resume path): the
+# fresh process inherits a stale generator.csv mtime and writes nothing
+# until restore+compile completes — observed 12:39 UTC: the watchdog
+# hang-killed a 9-minute-compiling manual launch.
+[ -f "runs/$RUN/generator.csv" ] && touch "runs/$RUN/generator.csv"
 echo "flagship launched: pid $(cat "$PIDFILE"), log /tmp/${RUN}.log"
