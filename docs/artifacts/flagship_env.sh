@@ -177,8 +177,8 @@ last_step() {
 # tiers are end-of-window backstops, not early exits: strict 7% (a
 # dream outcome stops immediately) until 13:00, 9.5% from 13:00, 9.99%
 # from 13:10, deadline 13:25.
-RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 13:00" +%s)}
-RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-19 13:10" +%s)}
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-19 13:50" +%s)}
+RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-19 13:58" +%s)}
 # Delegates to the first-class gate CLI (tcgan_tpu.analysis.recovery_gate)
 # instead of an inline re-implementation: one gate, truth loaded from the
 # run's own info.json, window measured in STEPS via the actual step
