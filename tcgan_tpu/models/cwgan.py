@@ -235,12 +235,14 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    from tcgan_tpu.models.wgan import apply_anchor_update
+    from tcgan_tpu.models.wgan import (apply_anchor_update, next_endgame,
+                                       scale_updates_for_endgame)
 
     (g_loss, (pen, fconv, fdiv, miters, cyield)), g_grads = jax.value_and_grad(
         lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
     )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+    g_updates = scale_updates_for_endgame(cfg, state, g_updates)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
     # The anchor operates on the JOINT per-circuit TC vector — exactly the
@@ -263,6 +265,7 @@ def train_step_impl(
         critic_params=critic_params, critic_opt=critic_opt,
         step=state.step + 1, ema_params=ema_params,
         data_mean=state.data_mean, data_second=state.data_second,
+        endgame=next_endgame(cfg, state, a_res),
         **anchor_state,
     )
     metrics = StepMetrics(

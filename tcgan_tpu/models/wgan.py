@@ -63,6 +63,32 @@ class WGANConfig:
     # exponential lr decay: lr * rate^(step/steps); 0 steps = constant lr
     lr_decay_steps: int = 0
     lr_decay_rate: float = 0.5
+    # Critic-cooling endgame (first-class version of the round-4 flagship
+    # phase-6 resume, BASELINE.md rec13anchor4): once the generator is
+    # inside ~10% of truth, the critic's Adam-normalized pull is ~90x
+    # weaker than the moment anchor's and is pure bias tax
+    # (docs/artifacts/anchor_equilibrium_probe.json) — its useful work
+    # (early landscape navigation, where the pure anchor is slower and
+    # the pure WGAN stalls at 25%+) is over. gen_lr_floor > 0 clamps the
+    # generator's exponential decay at that value; gen_lr_switch_step > 0
+    # hard-switches the ADVERSARIAL generator lr to the floor at that
+    # step (the anchor's own lr is untouched), so one run IS the whole
+    # early-adversarial -> anchor-endgame schedule with no mid-run
+    # resume. The critic keeps training throughout — only the
+    # generator's response to it cools — so the learning.csv witness
+    # stream stays comparable across the phase boundary.
+    gen_lr_floor: float = 0.0
+    gen_lr_switch_step: int = 0
+    # Auto endgame trigger (0 = off): when the anchor's debiased EMA
+    # residual first drops below this value, latch the endgame — from
+    # then on the adversarial generator lr is gen_lr_floor, exactly as
+    # if gen_lr_switch_step had fired. Requires moment_anchor > 0 (the
+    # residual is the anchor's own whitened objective; pick the
+    # threshold as k x the run's measured data floor — the flagship's
+    # was ~2e-5 at equilibrium vs a 7.8e-6 noise floor). Latched in
+    # TrainState.endgame so a residual that wanders back up cannot
+    # re-heat the schedule.
+    gen_lr_switch_residual: float = 0.0
     # critic-side decay horizon: -1 = follow lr_decay_steps; 0 = constant
     # critic lr even when the generator decays. Keeping the critic lr
     # undecayed preserves its per-batch signal on heavy-tailed
@@ -150,6 +176,10 @@ class TrainState(NamedTuple):
     # it), so the debias factor matches the accumulated mass
     mom_ema_count: Any = None
     anchor_opt: Any = None
+    # Critic-cooling auto-trigger latch (cfg.gen_lr_switch_residual > 0
+    # only; else None): bool scalar, flips once when the anchor residual
+    # first crosses the threshold and never flips back.
+    endgame: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -183,12 +213,30 @@ class StepMetrics(NamedTuple):
     circuit_yield: jnp.ndarray | None = None
 
 
+def gen_lr_schedule(cfg: WGANConfig):
+    """The ADVERSARIAL generator lr as a function of step count: the
+    exponential decay, clamped below at ``gen_lr_floor``, hard-switched to
+    the floor from ``gen_lr_switch_step`` on (see the WGANConfig field
+    docs — this is the one-run form of the flagship's phase-6 endgame
+    resume). Returns an optax schedule (callable step -> lr)."""
+    if cfg.lr_decay_steps > 0:
+        base = optax.exponential_decay(
+            cfg.lr_gen, cfg.lr_decay_steps, cfg.lr_decay_rate,
+            end_value=cfg.gen_lr_floor if cfg.gen_lr_floor > 0 else None)
+    else:
+        base = optax.constant_schedule(cfg.lr_gen)
+    if cfg.gen_lr_switch_step <= 0:
+        return base
+    switch, floor = cfg.gen_lr_switch_step, cfg.gen_lr_floor
+
+    def sched(count):
+        return jnp.where(count >= switch, floor, base(count))
+
+    return sched
+
+
 def make_optimizers(cfg: WGANConfig):
-    def tx(lr, decay_steps=None):
-        decay_steps = cfg.lr_decay_steps if decay_steps is None else decay_steps
-        if decay_steps > 0:
-            lr = optax.exponential_decay(lr, decay_steps,
-                                         cfg.lr_decay_rate)
+    def tx(lr):
         adam = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
         if cfg.clip_grad > 0:
             adam = optax.chain(optax.clip_by_global_norm(cfg.clip_grad),
@@ -201,7 +249,11 @@ def make_optimizers(cfg: WGANConfig):
 
     critic_decay = (cfg.lr_decay_steps if cfg.critic_lr_decay_steps < 0
                     else cfg.critic_lr_decay_steps)
-    return tx(cfg.lr_gen), tx(cfg.lr_critic, critic_decay)
+    critic_lr = cfg.lr_critic
+    if critic_decay > 0:
+        critic_lr = optax.exponential_decay(cfg.lr_critic, critic_decay,
+                                            cfg.lr_decay_rate)
+    return tx(gen_lr_schedule(cfg)), tx(critic_lr)
 
 
 def make_anchor_optimizer(cfg: WGANConfig):
@@ -246,6 +298,9 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
     gen_params = gen_init if gen_init is not None else gen_lib.init_params(cfg.gen)
     critic_params = critic_lib.init_params(cfg.critic_cfg, kc)
     gen_tx, critic_tx = make_optimizers(cfg)
+    if cfg.gen_lr_switch_residual > 0 and cfg.moment_anchor <= 0:
+        raise ValueError("gen_lr_switch_residual triggers on the moment "
+                         "anchor's residual — it requires moment_anchor > 0")
     return TrainState(
         gen_params=gen_params,
         gen_opt=gen_tx.init(gen_params),
@@ -254,6 +309,8 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay > 0 else None),
+        endgame=(jnp.zeros((), bool)
+                 if cfg.gen_lr_switch_residual > 0 else None),
         **anchor_buffers(cfg, data_moments, gen_params),
     )
 
@@ -475,6 +532,32 @@ def apply_anchor_update(cfg, state: TrainState, gen_params, key_g,
     ), aloss
 
 
+def scale_updates_for_endgame(cfg: WGANConfig, state: TrainState,
+                              g_updates):
+    """Residual-triggered critic cooling (cfg.gen_lr_switch_residual):
+    once TrainState.endgame is latched, rescale the adversarial Adam
+    update so its effective lr is ``gen_lr_floor`` — Adam's update is
+    linear in lr, so post-optimizer scaling by floor/schedule(step) IS
+    Adam at the floor, without a second optimizer state. No-op (returns
+    updates unchanged) when the trigger is off. Shared with cwgan."""
+    if cfg.gen_lr_switch_residual <= 0 or state.endgame is None:
+        return g_updates
+    lr_now = gen_lr_schedule(cfg)(state.step)
+    scale = jnp.where(state.endgame, cfg.gen_lr_floor / lr_now, 1.0)
+    return jax.tree.map(lambda u: u * scale, g_updates)
+
+
+def next_endgame(cfg: WGANConfig, state: TrainState, a_res):
+    """Advance the endgame latch from this step's anchor residual (the
+    debiased-EMA whitened residual ``anchor_loss`` returns). One-step
+    delay by construction: the latch computed here first cools the NEXT
+    step's adversarial update. Shared with cwgan."""
+    if state.endgame is None:
+        return None
+    fired = a_res < cfg.gen_lr_switch_residual
+    return jnp.logical_or(state.endgame, fired)
+
+
 def train_step_impl(
     cfg: WGANConfig,
     n_critic: int,
@@ -515,6 +598,7 @@ def train_step_impl(
         lambda gp_: gen_loss_fn(cfg, gp_, critic_params, key_g), has_aux=True
     )(state.gen_params)
     g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+    g_updates = scale_updates_for_endgame(cfg, state, g_updates)
     gen_params = optax.apply_updates(state.gen_params, g_updates)
 
     gen_params, anchor_state, a_res = apply_anchor_update(
@@ -535,6 +619,7 @@ def train_step_impl(
         ema_params=ema_params,
         data_mean=state.data_mean,
         data_second=state.data_second,
+        endgame=next_endgame(cfg, state, a_res),
         **anchor_state,
     )
     metrics = StepMetrics(

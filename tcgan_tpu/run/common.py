@@ -217,6 +217,28 @@ def add_gan_flags(p: argparse.ArgumentParser):
                    help="exponential lr decay horizon in steps (0 = off)")
     g.add_argument("--lr-decay-rate", type=float, default=0.5,
                    help="decay factor applied every --lr-decay-steps")
+    g.add_argument("--gen-lr-floor", type=float, default=0.0,
+                   help="critic-cooling endgame floor for the ADVERSARIAL "
+                        "generator lr: the exponential decay clamps here, "
+                        "and the --gen-lr-switch-* triggers jump straight "
+                        "to it (the anchor's own lr is untouched). "
+                        "Rationale: near truth the critic's pull is pure "
+                        "bias tax (anchor_equilibrium_probe.json, "
+                        "BASELINE.md rec13anchor4) — one run encodes the "
+                        "whole adversarial->anchor schedule, no mid-run "
+                        "resume.")
+    g.add_argument("--gen-lr-switch-step", "--phase-switch-at", type=int,
+                   default=0, dest="gen_lr_switch_step",
+                   help="hard-switch the adversarial generator lr to "
+                        "--gen-lr-floor at this step (0 = off)")
+    g.add_argument("--gen-lr-switch-residual", type=float, default=0.0,
+                   help="auto endgame trigger (0 = off): latch the "
+                        "adversarial lr to --gen-lr-floor once the "
+                        "anchor's debiased EMA residual first drops below "
+                        "this value (requires --moment-anchor; pick ~k x "
+                        "the run's data floor — the flagship's "
+                        "equilibrium residual was ~2e-5 over a 7.8e-6 "
+                        "noise floor)")
     g.add_argument("--adaptive-max-iter", choices=("on", "off"),
                    default="on",
                    help="adaptive train-time solver budget: cap max_iter "

@@ -633,3 +633,136 @@ def test_anchor_updates_scan_path():
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          results[1], results[3])
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_gen_lr_schedule_floor_and_switch():
+    """Critic-cooling endgame schedule (--gen-lr-floor/--gen-lr-switch-step):
+    exponential decay clamps at the floor; the step switch jumps straight
+    to it; both off reproduces the plain decay."""
+    # plain decay (no floor): halves every 10 steps, unbounded below
+    cfg = wgan_lib.WGANConfig(lr_gen=1e-3, lr_decay_steps=10,
+                              lr_decay_rate=0.5)
+    s = wgan_lib.gen_lr_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 1e-3 * 0.5**10, rtol=1e-6)
+
+    # floor clamps the decay
+    cfg_f = dataclasses.replace(cfg, gen_lr_floor=2e-4)
+    sf = wgan_lib.gen_lr_schedule(cfg_f)
+    np.testing.assert_allclose(float(sf(10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sf(100)), 2e-4, rtol=1e-6)
+
+    # hard switch: the floor from the switch step on, decay before it
+    cfg_sw = dataclasses.replace(cfg, gen_lr_floor=1e-8,
+                                 gen_lr_switch_step=15)
+    ssw = wgan_lib.gen_lr_schedule(cfg_sw)
+    np.testing.assert_allclose(float(ssw(14)), 1e-3 * 0.5**1.4, rtol=1e-6)
+    np.testing.assert_allclose(float(ssw(15)), 1e-8, rtol=1e-6)
+    np.testing.assert_allclose(float(ssw(1000)), 1e-8, rtol=1e-6)
+
+    # switch works without any decay schedule too
+    cfg_c = wgan_lib.WGANConfig(lr_gen=1e-3, gen_lr_floor=0.0,
+                                gen_lr_switch_step=5)
+    sc = wgan_lib.gen_lr_schedule(cfg_c)
+    np.testing.assert_allclose(float(sc(4)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sc(5)), 0.0, atol=0)
+
+
+def test_gen_lr_switch_step_cools_optimizer_updates():
+    """Through the actual generator optimizer: constant gradients, update
+    magnitude drops to the floor scale at the switch step (Adam's update
+    is linear in lr)."""
+    cfg = wgan_lib.WGANConfig(lr_gen=1e-3, gen_lr_floor=1e-6,
+                              gen_lr_switch_step=3)
+    gen_tx, _ = wgan_lib.make_optimizers(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    st = gen_tx.init(params)
+    mags = []
+    for _ in range(5):
+        up, st = gen_tx.update(grads, st, params)
+        mags.append(float(np.abs(np.asarray(up["w"])).mean()))
+    # counts 0,1,2 run at 1e-3; counts 3,4 at the 1e-6 floor
+    assert mags[2] > 100 * mags[3], mags
+    np.testing.assert_allclose(mags[4] / mags[1], 1e-3, rtol=1e-2)
+
+
+def test_endgame_scale_and_latch_units():
+    """scale_updates_for_endgame: identity until the latch fires, then an
+    exact floor/schedule rescale; next_endgame latches on residual
+    crossing and never unlatches."""
+    cfg = wgan_lib.WGANConfig(lr_gen=1e-3, gen_lr_floor=1e-6,
+                              moment_anchor=1e-2,
+                              gen_lr_switch_residual=1e-4)
+    ups = {"w": jnp.ones((2,)) * 7.0}
+
+    class S:
+        step = jnp.asarray(5, jnp.int32)
+        endgame = jnp.asarray(False)
+
+    out = wgan_lib.scale_updates_for_endgame(cfg, S, ups)
+    np.testing.assert_allclose(np.asarray(out["w"]), 7.0)
+    S.endgame = jnp.asarray(True)
+    out = wgan_lib.scale_updates_for_endgame(cfg, S, ups)
+    np.testing.assert_allclose(np.asarray(out["w"]), 7.0 * 1e-3, rtol=1e-6)
+
+    # trigger off -> identity even if a stray latch is set
+    cfg_off = dataclasses.replace(cfg, gen_lr_switch_residual=0.0)
+    out = wgan_lib.scale_updates_for_endgame(cfg_off, S, ups)
+    np.testing.assert_allclose(np.asarray(out["w"]), 7.0)
+
+    # latch semantics
+    S.endgame = jnp.asarray(False)
+    assert not bool(wgan_lib.next_endgame(cfg, S, jnp.asarray(2e-4)))
+    assert bool(wgan_lib.next_endgame(cfg, S, jnp.asarray(5e-5)))
+    S.endgame = jnp.asarray(True)
+    assert bool(wgan_lib.next_endgame(cfg, S, jnp.asarray(2e-4)))  # sticky
+
+
+def test_gen_lr_switch_residual_train_step():
+    """Full train step with the auto trigger: the latch flips once the
+    anchor residual is under threshold, with a one-step delay before it
+    cools the adversarial update; without the anchor, init_state refuses
+    the flag; with the trigger off the state field stays None (checkpoint
+    structure unchanged)."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    mk = lambda thr: tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.9,
+                                   gen_lr_floor=0.0,
+                                   gen_lr_switch_residual=thr)
+
+    with pytest.raises(ValueError):
+        wgan_lib.init_state(tiny_wgan_cfg(gen_lr_switch_residual=1e-3))
+    assert wgan_lib.init_state(tiny_wgan_cfg()).endgame is None
+
+    cfg_hot = mk(1e-30)   # never fires
+    cfg_cool = mk(1e30)   # fires on the first residual
+    real = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg_hot.n_critic, cfg_hot.critic_batch, cfg_hot.gen.tc_dim),
+        dtype=jnp.float64) * 0.1 + 1.0
+    s_hot = wgan_lib.init_state(cfg_hot, data_moments=dmom)
+    s_cool = wgan_lib.init_state(cfg_cool, data_moments=dmom)
+    assert not bool(s_cool.endgame)
+
+    s_hot1, _ = wgan_lib.train_step(cfg_hot, 2, s_hot, real,
+                                    jax.random.PRNGKey(2))
+    s_cool1, _ = wgan_lib.train_step(cfg_cool, 2, s_cool, real,
+                                     jax.random.PRNGKey(2))
+    assert not bool(s_hot1.endgame)
+    assert bool(s_cool1.endgame)
+    # one-step delay: step 1 is identical under either threshold
+    np.testing.assert_array_equal(np.asarray(s_hot1.gen_params["J"]),
+                                  np.asarray(s_cool1.gen_params["J"]))
+    # step 2 diverges: the cooled run's adversarial update is zeroed
+    # (floor 0), only the anchor moves it
+    s_hot2, _ = wgan_lib.train_step(cfg_hot, 2, s_hot1, real,
+                                    jax.random.PRNGKey(3))
+    s_cool2, _ = wgan_lib.train_step(
+        cfg_cool, 2, s_cool1._replace(endgame=s_cool1.endgame), real,
+        jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(s_hot2.gen_params["J"]),
+                           np.asarray(s_cool2.gen_params["J"]))
+    assert bool(s_cool2.endgame)  # sticky across steps
