@@ -12,7 +12,7 @@ cd /root/repo
 exec python -u -m tcgan_tpu.run.ensemble \
   --estimator mm --datastore runs/mmens13 \
   --ensemble 8 --start-jitter 0.05 \
-  --N 51 --batch-size 128 --n-steps 8000 \
+  --N 51 --batch-size 128 --n-steps "${MMENS_STEPS:-4000}" \
   --max-iter 8000 --atol 1e-4 \
   --J 0.045 0.04 0.05 0.035 \
   --D 0.1 0.08 0.1 0.08 \
