@@ -132,17 +132,22 @@ def init_mm_ensemble(
     return _reset_member0(cfg, states, gen_init, start_jitter)
 
 
-def make_mm_ensemble_step_impl(impl=None):
+def make_mm_ensemble_step_impl(impl=None, per_member_data=False):
     """Member-vmapped moment-matching ``train_step_impl``
-    (``(cfg, state, data_mean, data_second, key)`` signature; the data
-    moments are shared across members)."""
+    (``(cfg, state, data_mean, data_second, key)`` signature). By default
+    the data moments are shared across members (spread = estimator-
+    internal noise); with ``per_member_data`` the moments carry a leading
+    member axis — one independent dataset per member, so the spread is
+    CRLB-comparable (run.ensemble --data-seed-per-member)."""
     if impl is None:
         from tcgan_tpu.models import moments as mm_lib
 
         impl = mm_lib.train_step_impl
 
+    data_ax = 0 if per_member_data else None
+
     def ensemble_impl(cfg, states, data_mean, data_second, keys):
-        return jax.vmap(impl, in_axes=(None, 0, None, None, 0))(
+        return jax.vmap(impl, in_axes=(None, 0, data_ax, data_ax, 0))(
             cfg, states, data_mean, data_second, keys)
 
     return ensemble_impl

@@ -47,6 +47,17 @@ def make_parser():
                    help="(mm) EMA decay for generated moments per member")
     g.add_argument("--fixed-z", action="store_true",
                    help="(mm) common-random-numbers quenched noise")
+    g.add_argument("--data-seed-per-member", action="store_true",
+                   help="(mm) give each member its OWN fake-truth dataset "
+                        "(truth seed = --truth-seed + member index), so "
+                        "the member spread includes SAMPLING variance and "
+                        "is comparable to the CRLB. Default (shared "
+                        "dataset) measures estimator-internal noise only "
+                        "— measured round 4c (BASELINE.md mmens13): "
+                        "shared-data spread rides the STRONG Fisher "
+                        "directions (limit-cycle amplitude), the opposite "
+                        "structure of posterior width. Requires generated "
+                        "fake truth (incompatible with --dataset).")
     g.add_argument("--mean-weight", type=float, default=1.0)
     g.add_argument("--cov-weight", type=float, default=1.0)
     return p
@@ -185,9 +196,31 @@ def _run_mm(args, gen_cfg) -> int:
         fixed_z=args.fixed_z,
         moment_ema=args.moment_ema,
     )
-    dataset = common.load_or_generate_dataset(args, gen_cfg)
-    data_mean, data_second = dataset.moments()
     K = args.ensemble
+    per_member_data = getattr(args, "data_seed_per_member", False)
+    if per_member_data:
+        # K independent fake-truth draws -> stacked moments (K, F) /
+        # (K, F, F); the vmapped step maps over the data axis too, so
+        # member spread includes the data's sampling variance (the
+        # CRLB-comparable mode — see the flag's help text).
+        if args.dataset:
+            raise SystemExit("--data-seed-per-member requires generated "
+                             "fake truth, not --dataset")
+        import copy
+
+        means, seconds = [], []
+        for m in range(K):
+            args_m = copy.copy(args)  # argparse.Namespace shallow copy
+            args_m.truth_seed = args.truth_seed + m
+            dm, dsec = common.load_or_generate_dataset(
+                args_m, gen_cfg).moments()
+            means.append(np.asarray(dm))
+            seconds.append(np.asarray(dsec))
+        data_mean = np.stack(means)
+        data_second = np.stack(seconds)
+    else:
+        dataset = common.load_or_generate_dataset(args, gen_cfg)
+        data_mean, data_second = dataset.moments()
 
     store = DataStore(args.datastore)
     store.write_info({"entry": "ensemble_mm", "n_members": K, **vars(args)})
@@ -196,8 +229,9 @@ def _run_mm(args, gen_cfg) -> int:
     states = ens_lib.init_mm_ensemble(
         cfg, K, jax.random.PRNGKey(cfg.seed), gen_init=gen_init,
         start_jitter=args.start_jitter)
-    step_fn = jax.jit(ens_lib.make_mm_ensemble_step_impl(),
-                      static_argnames=("cfg",))
+    step_fn = jax.jit(
+        ens_lib.make_mm_ensemble_step_impl(per_member_data=per_member_data),
+        static_argnames=("cfg",))
 
     ckpt = CheckpointManager(store.subdir("ckpt"))
     if args.resume and ckpt.latest_step() is not None:
