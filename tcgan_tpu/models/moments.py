@@ -64,6 +64,31 @@ class MomentMatchingConfig:
     # becomes ~batch/(1-gamma). Gradients flow through the current batch's
     # (1-gamma) contribution; Adam's scale invariance absorbs the factor.
     moment_ema: float = 0.0
+    # Two-phase gamma schedule (round-4c orbit-damping sweep, BASELINE.md):
+    # long windows (0.995) are right for the DESCENT (D's weak ridge
+    # signal needs the variance reduction) but their ~1/(1-gamma)-update
+    # lag sustains a limit cycle near truth; gamma 0.98 measured a 10x
+    # orbit-amplitude collapse with no starvation once near truth. With
+    # moment_ema_switch_step > 0 the EMA decay switches from moment_ema
+    # to moment_ema_late at that step — one run encodes
+    # descend-then-damp. (The Adam-style debias factor keeps using the
+    # CURRENT gamma; by any sensible switch step the EMA is warm and the
+    # factor is ~1, so the approximation is immaterial.)
+    moment_ema_late: float = 0.0
+    moment_ema_switch_step: int = 0
+
+
+def effective_gamma(cfg, step, base=None, late=None, switch=None):
+    """EMA decay at this step under the two-phase gamma schedule (see
+    MomentMatchingConfig.moment_ema_late). Returns the plain float when
+    the switch is off; a traced scalar otherwise. Shared with the WGAN
+    moment anchor (wgan.anchor_loss passes its own field triple)."""
+    base = cfg.moment_ema if base is None else base
+    late = cfg.moment_ema_late if late is None else late
+    switch = cfg.moment_ema_switch_step if switch is None else switch
+    if switch <= 0 or late <= 0:
+        return base
+    return jnp.where(step >= switch, late, base)
 
 
 class MMState(NamedTuple):
@@ -215,7 +240,7 @@ def train_step_impl(
             # the update counter does not advance (debias then matches
             # the mass actually accumulated, even across divergence
             # episodes).
-            g = cfg.moment_ema
+            g = effective_gamma(cfg, state.step)
             sg = jax.lax.stop_gradient
             bmean, bsecond = data_moments(out.tc, w)
             has_data = (jnp.sum(w) > 0 if w is not None

@@ -122,6 +122,14 @@ class WGANConfig:
     # EMA decay for the anchor's generated moments (ignored when
     # moment_anchor == 0); effective sample count ~ batch/(1-gamma)
     moment_ema: float = 0.995
+    # Two-phase anchor gamma (round-4c orbit-damping sweep, BASELINE.md):
+    # switch the anchor EMA's decay from moment_ema to anchor_ema_late at
+    # GAN step anchor_ema_switch_step (0 = off). Long windows carry the
+    # ridge DESCENT; gamma 0.98 measured a 10x orbit-amplitude collapse
+    # near truth with no D starvation — descend-then-damp in one run,
+    # composable with the gen_lr_switch_* critic cooling.
+    anchor_ema_late: float = 0.0
+    anchor_ema_switch_step: int = 0
     moment_eps: float = 1e-2  # moment-normalization floor (as in mm)
     # beta1 for the anchor's OWN Adam (None = the WGAN beta1, 0.5). The
     # anchor's drift per step is ~lr x gradient-SNR; along the weakly
@@ -432,7 +440,11 @@ def anchor_loss(cfg, state: TrainState, out):
     if tc.shape[0] != ok.shape[0]:
         ok = jnp.repeat(ok, tc.shape[0] // ok.shape[0])
     w = ok
-    g = cfg.moment_ema
+    from tcgan_tpu.models.moments import effective_gamma
+
+    g = effective_gamma(cfg, state.step, base=cfg.moment_ema,
+                        late=cfg.anchor_ema_late,
+                        switch=cfg.anchor_ema_switch_step)
     sg = jax.lax.stop_gradient
     bmean, bsecond = batch_moments(tc, w)
     # Zero-survivor guard: a batch where not even one solve converged

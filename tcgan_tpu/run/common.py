@@ -178,6 +178,17 @@ def add_gan_flags(p: argparse.ArgumentParser):
     g.add_argument("--anchor-ema", type=float, default=0.995,
                    help="EMA decay for the anchor's generated moments "
                         "(effective sample count ~ batch/(1-gamma))")
+    g.add_argument("--anchor-ema-late", type=float, default=0.0,
+                   help="two-phase anchor gamma: switch the anchor EMA "
+                        "decay to this value at --anchor-ema-switch-step "
+                        "(0 = off). Measured (BASELINE round-4c "
+                        "orbit-damping sweep): gamma 0.98 collapses the "
+                        "near-truth limit cycle 10x with no D "
+                        "starvation, while 0.995 carries the descent — "
+                        "descend-then-damp in one run")
+    g.add_argument("--anchor-ema-switch-step", type=int, default=0,
+                   help="GAN step at which --anchor-ema-late takes over "
+                        "(0 = off)")
     g.add_argument("--anchor-updates", type=int, default=1,
                    help="anchor Adam updates per GAN step (fresh "
                         "generator batch each). The anchor's ridge-"

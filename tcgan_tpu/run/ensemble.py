@@ -45,6 +45,12 @@ def make_parser():
                    help="(mm) member Adam learn rate")
     g.add_argument("--moment-ema", type=float, default=0.0,
                    help="(mm) EMA decay for generated moments per member")
+    g.add_argument("--moment-ema-late", type=float, default=0.0,
+                   help="(mm) two-phase gamma: switch the moment-EMA "
+                        "decay to this value at --moment-ema-switch-step "
+                        "(0 = off; BASELINE round-4c orbit-damping sweep)")
+    g.add_argument("--moment-ema-switch-step", type=int, default=0,
+                   help="(mm) step at which --moment-ema-late takes over")
     g.add_argument("--fixed-z", action="store_true",
                    help="(mm) common-random-numbers quenched noise")
     g.add_argument("--data-seed-per-member", action="store_true",
@@ -195,6 +201,8 @@ def _run_mm(args, gen_cfg) -> int:
         seed=args.seed,
         fixed_z=args.fixed_z,
         moment_ema=args.moment_ema,
+        moment_ema_late=getattr(args, "moment_ema_late", 0.0),
+        moment_ema_switch_step=getattr(args, "moment_ema_switch_step", 0),
     )
     K = args.ensemble
     per_member_data = getattr(args, "data_seed_per_member", False)

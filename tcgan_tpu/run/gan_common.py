@@ -108,6 +108,8 @@ def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
         reject_unconverged=getattr(args, "reject_unconverged", False),
         moment_anchor=getattr(args, "moment_anchor", 0.0),
         moment_ema=getattr(args, "anchor_ema", 0.995),
+        anchor_ema_late=getattr(args, "anchor_ema_late", 0.0),
+        anchor_ema_switch_step=getattr(args, "anchor_ema_switch_step", 0),
         anchor_beta1=getattr(args, "anchor_beta1", None),
         anchor_updates=getattr(args, "anchor_updates", 1),
         seed=args.seed,

@@ -38,6 +38,15 @@ def make_parser() -> argparse.ArgumentParser:
                    help="EMA decay for the generated moments (e.g. 0.99): "
                         "moment averaging across steps — effective "
                         "generator sample count ~batch/(1-decay)")
+    g.add_argument("--moment-ema-late", type=float, default=0.0,
+                   help="two-phase gamma: switch the moment-EMA decay to "
+                        "this value at --moment-ema-switch-step (0 = "
+                        "off). Measured (BASELINE round-4c): 0.995 for "
+                        "the descent, 0.98 near truth collapses the "
+                        "limit cycle 10x")
+    g.add_argument("--moment-ema-switch-step", type=int, default=0,
+                   help="step at which --moment-ema-late takes over "
+                        "(0 = off)")
     g.add_argument("--fixed-z", action="store_true",
                    help="common random numbers: one fixed quenched-noise "
                         "set every step (deterministic objective; escapes "
@@ -96,6 +105,8 @@ def _main_body(args, gen_cfg, step_fn, mm_lib) -> int:
         seed=args.seed,
         fixed_z=args.fixed_z,
         moment_ema=args.moment_ema,
+        moment_ema_late=getattr(args, "moment_ema_late", 0.0),
+        moment_ema_switch_step=getattr(args, "moment_ema_switch_step", 0),
         survivor_mask=not args.no_survivor_mask,
     )
     dataset = common.load_or_generate_dataset(args, gen_cfg)

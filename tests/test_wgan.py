@@ -766,3 +766,67 @@ def test_gen_lr_switch_residual_train_step():
     assert not np.allclose(np.asarray(s_hot2.gen_params["J"]),
                            np.asarray(s_cool2.gen_params["J"]))
     assert bool(s_cool2.endgame)  # sticky across steps
+
+
+def test_two_phase_moment_ema_switch():
+    """--moment-ema-late / --anchor-ema-late (descend-then-damp, BASELINE
+    round-4c orbit sweep): the EMA decay switches at the given step —
+    identical states stepped on either side of the boundary blend the
+    batch moments with different gammas; off = plain constant gamma."""
+    # helper semantics first
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, moment_ema=0.995,
+                                      moment_ema_late=0.98,
+                                      moment_ema_switch_step=5)
+    assert float(mm_lib.effective_gamma(cfg, jnp.asarray(4))) == 0.995
+    assert float(mm_lib.effective_gamma(cfg, jnp.asarray(5))) == pytest.approx(0.98)
+    cfg_off = mm_lib.MomentMatchingConfig(gen=TINY_GEN, moment_ema=0.995)
+    assert mm_lib.effective_gamma(cfg_off, jnp.asarray(99)) == 0.995
+
+    # through the mm train step: same buffers, steps 4 vs 5 -> the EMA
+    # blend uses gamma 0.995 vs 0.98 (fixed_z so the batch is identical)
+    cfg = mm_lib.MomentMatchingConfig(gen=TINY_GEN, batch_size=4,
+                                      moment_ema=0.995,
+                                      moment_ema_late=0.98,
+                                      moment_ema_switch_step=5,
+                                      fixed_z=True, lr=0.0)
+    dm = jnp.ones((TINY_GEN.tc_dim,))
+    dsec = jnp.eye(TINY_GEN.tc_dim)
+    s0 = mm_lib.init_state(cfg)
+    warm = s0._replace(ema_mean=jnp.full_like(dm, 0.5),
+                       ema_second=0.25 * jnp.eye(TINY_GEN.tc_dim),
+                       ema_count=jnp.asarray(10.0, dm.dtype))
+    early = warm._replace(step=jnp.asarray(4, jnp.int32))
+    late = warm._replace(step=jnp.asarray(5, jnp.int32))
+    k = jax.random.PRNGKey(0)
+    s_e, _ = mm_lib.train_step(cfg, early, dm, dsec, k)
+    s_l, _ = mm_lib.train_step(cfg, late, dm, dsec, k)
+    # identical batch moments b (fixed_z, lr=0): ema' = g*0.5 + (1-g)*b
+    # -> recover b from each and check they agree; the gammas differ
+    b_e = (np.asarray(s_e.ema_mean) - 0.995 * 0.5) / 0.005
+    b_l = (np.asarray(s_l.ema_mean) - 0.98 * 0.5) / 0.02
+    np.testing.assert_allclose(b_e, b_l, rtol=1e-4)
+    assert not np.allclose(np.asarray(s_e.ema_mean),
+                           np.asarray(s_l.ema_mean))
+
+    # anchor side: same switch plumbing through the WGAN config fields
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    wcfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.995,
+                         anchor_ema_late=0.9, anchor_ema_switch_step=1)
+    state = wgan_lib.init_state(wcfg, data_moments=dmom)
+    warm = state._replace(mom_ema_mean=jnp.full_like(state.mom_ema_mean, 0.5),
+                          mom_ema_count=jnp.asarray(10.0,
+                                                    state.data_mean.dtype))
+    from types import SimpleNamespace
+
+    fake_out = SimpleNamespace(tc=out.tc[:4],
+                               converged=jnp.ones((4, TINY_GEN.n_stim),
+                                                  bool))
+    _, em_pre, _, _ = wgan_lib.anchor_loss(
+        wcfg, warm._replace(step=jnp.asarray(0, jnp.int32)), fake_out)
+    _, em_post, _, _ = wgan_lib.anchor_loss(
+        wcfg, warm._replace(step=jnp.asarray(1, jnp.int32)), fake_out)
+    b_pre = (np.asarray(em_pre) - 0.995 * 0.5) / 0.005
+    b_post = (np.asarray(em_post) - 0.9 * 0.5) / 0.1
+    np.testing.assert_allclose(b_pre, b_post, rtol=1e-4)
