@@ -213,15 +213,22 @@ def main() -> int:
 
     parity_checked = _parity()
 
-    # Median of per-rep times (not the mean of one block): robust to a
-    # single contended/slow rep, so back-to-back bench runs agree ±10%.
-    rep_times = []
-    for _ in range(REPS):
+    # Median of per-BLOCK rates: each block dispatches REPS solves
+    # asynchronously and syncs ONCE, so the TPU tunnel's RTT is paid once
+    # per block instead of once per rep. Round 4's per-rep blocking made
+    # the headline read 116,792 while the same JSON's mesh section (timed
+    # per-block) read 290,501/chip on an unchanged kernel — the ruler,
+    # not the device, changed (VERDICT r4 weak #1). Median across blocks
+    # keeps the contention robustness the per-rep scheme was built for.
+    N_BLOCKS = 3
+    block_times = []
+    for _ in range(N_BLOCKS):
         t0 = time.perf_counter()
-        res = solve(W)
+        for _ in range(REPS):
+            res = solve(W)
         jax.block_until_ready(res.r)
-        rep_times.append(time.perf_counter() - t0)
-    t_tpu = float(np.median(rep_times))
+        block_times.append((time.perf_counter() - t0) / REPS)
+    t_tpu = float(np.median(block_times))
     rate_tpu = B_TPU * S_cond / t_tpu
 
     # Capability extra (not the headline, which stays algorithm-identical
@@ -384,6 +391,21 @@ def main() -> int:
         mesh_section = _mesh_rate()
     except Exception as e:  # pragma: no cover
         mesh_section = {"error": repr(e)}
+
+    # Ruler self-check (VERDICT r4 next-round #2): the headline and the
+    # mesh section time the SAME kernel with the same per-block sync, so
+    # they must agree. A >15% gap means one of the rulers is polluted
+    # (tunnel RTT, contention) — stamp it so no round ships a 2.5x
+    # methodology artifact as a perf regression again.
+    mesh_pc = mesh_section.get("rate_per_chip")
+    if mesh_pc and rate_tpu > 0:
+        gap = abs(mesh_pc - rate_tpu) / rate_tpu
+        mesh_section["headline_agreement"] = round(mesh_pc / rate_tpu, 3)
+        if gap > 0.15:
+            mesh_section["headline_agreement_warning"] = (
+                f"headline {rate_tpu:.0f} vs mesh per-chip {mesh_pc:.0f} "
+                "differ by >15% — one ruler is polluted; trust neither "
+                "until re-run uncontended")
 
     # Full WGAN-GP step time (IFT gradients, Pallas forward) at the
     # standard config — marginal cost, matching BASELINE.md's table.

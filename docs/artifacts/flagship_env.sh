@@ -33,8 +33,8 @@
 # 30% -> 7% at -1.6%/1k): near-truth at ~13-15k steps, damped endgame
 # after; gate window from GATE_STEP. Checkpoints every 1000 steps.
 #
-# All times UTC. Round-5 builder session started ~18:35 Aug 19 2026,
-# ends ~06:30 Aug 20; margins leave room for the eval chain (~25 min),
+# All times UTC. Round-5 builder session actually started ~19:30 Aug 19
+# 2026 (driver log), ends ~07:30 Aug 20; deadlines shifted +1h accordingly; margins leave room for the eval chain (~25 min),
 # the per-member-data ensemble (>=50 min useful), CPU-side probes, and
 # the driver's round-end bench:
 #   STOP_AT   03:30 — stop a RUNNING flagship (leaves eval+science room)
@@ -54,9 +54,9 @@ resume_pending() {
   age=$(( $(date -u +%s) - $(stat -c %Y "$RESUMEFILE") ))
   [ "$age" -le "$RESUME_FRESH_S" ]
 }
-STOP_AT=${STOP_AT:-$(date -u -d "2026-08-20 03:30" +%s)}
-LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-20 03:40" +%s)}
-END_AT=${END_AT:-$(date -u -d "2026-08-20 05:10" +%s)}
+STOP_AT=${STOP_AT:-$(date -u -d "2026-08-20 04:30" +%s)}
+LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-20 04:40" +%s)}
+END_AT=${END_AT:-$(date -u -d "2026-08-20 06:10" +%s)}
 export GATE_STEP=${GATE_STEP:-8000}
 N_STEPS=${N_STEPS:-30000}
 ANCHOR=${ANCHOR:-1e-3}
@@ -79,9 +79,9 @@ last_step() {
 # starts at 5.5% (a clear there = recipe reaches CRLB scale — stop and
 # bank the chip time); 7% from RELAX0 (still beats round 4's 9.91%);
 # the end-of-window backstops stay under the round's 10% bar.
-RELAX0_AT=${RELAX0_AT:-$(date -u -d "2026-08-20 00:30" +%s)}
-RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-20 02:15" +%s)}
-RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-20 03:10" +%s)}
+RELAX0_AT=${RELAX0_AT:-$(date -u -d "2026-08-20 01:30" +%s)}
+RELAX_AT=${RELAX_AT:-$(date -u -d "2026-08-20 03:15" +%s)}
+RELAX2_AT=${RELAX2_AT:-$(date -u -d "2026-08-20 04:10" +%s)}
 gate_cleared() {
   now_s=$(date -u +%s)
   if [ "$now_s" -ge "$RELAX2_AT" ]; then GATE_PCT=0.0999

@@ -11,6 +11,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import json
+import sys
 import warnings
 from pathlib import Path
 from typing import Any, Dict, List
@@ -50,18 +51,26 @@ def _read_jsonl(path: Path) -> List[dict]:
     """
     if not path.exists():
         return []
-    out, torn = [], 0
+    out, torn, first_bad = [], 0, None
     with open(path) as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             if not line.strip():
                 continue
             try:
                 out.append(json.loads(line))
             except json.JSONDecodeError:
                 torn += 1
+                if first_bad is None:
+                    first_bad = lineno
     if torn:
-        warnings.warn(f"{path}: skipped {torn} unparseable JSONL line(s) "
-                      "(torn write from a kill/preemption?)")
+        # stderr unconditionally, not only warnings.warn: warnings are
+        # deduplicated per call site and routinely filtered in batch
+        # pipelines, so widespread corruption (beyond the single torn
+        # tail) could pass silently into analyses (ADVICE r4 #4).
+        msg = (f"{path}: skipped {torn} unparseable JSONL line(s), first "
+               f"at line {first_bad} (torn write from a kill/preemption?)")
+        print(msg, file=sys.stderr)
+        warnings.warn(msg)
     return out
 
 

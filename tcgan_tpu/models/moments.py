@@ -77,6 +77,17 @@ class MomentMatchingConfig:
     moment_ema_late: float = 0.0
     moment_ema_switch_step: int = 0
 
+    def __post_init__(self):
+        # The EMA branch is gated on moment_ema > 0, so a late-phase gamma
+        # without a base gamma would be SILENTLY ignored — error loudly
+        # instead, like the other contradictory-flag combinations
+        # (ADVICE r4 #3).
+        if self.moment_ema_late > 0 and self.moment_ema <= 0:
+            raise ValueError(
+                "moment_ema_late > 0 requires moment_ema > 0 (the EMA "
+                "branch is gated on the base gamma; --moment-ema-late "
+                "with --moment-ema 0 would silently run without any EMA)")
+
 
 def effective_gamma(cfg, step, base=None, late=None, switch=None):
     """EMA decay at this step under the two-phase gamma schedule (see

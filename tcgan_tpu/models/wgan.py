@@ -309,6 +309,10 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
     if cfg.gen_lr_switch_residual > 0 and cfg.moment_anchor <= 0:
         raise ValueError("gen_lr_switch_residual triggers on the moment "
                          "anchor's residual — it requires moment_anchor > 0")
+    if cfg.anchor_ema_late > 0 and cfg.moment_anchor <= 0:
+        raise ValueError("anchor_ema_late schedules the moment anchor's "
+                         "EMA — it requires moment_anchor > 0 (same "
+                         "error-loudly rule as moments.moment_ema_late)")
     return TrainState(
         gen_params=gen_params,
         gen_opt=gen_tx.init(gen_params),
@@ -555,8 +559,13 @@ def scale_updates_for_endgame(cfg: WGANConfig, state: TrainState,
     if cfg.gen_lr_switch_residual <= 0 or state.endgame is None:
         return g_updates
     lr_now = gen_lr_schedule(cfg)(state.step)
-    scale = jnp.where(state.endgame, cfg.gen_lr_floor / lr_now, 1.0)
-    return jax.tree.map(lambda u: u * scale, g_updates)
+    # lr_now can be exactly 0 (gen_lr_switch_step fired with floor 0):
+    # 0/0 = NaN would poison the params via 0 * NaN (ADVICE r4 #1). A
+    # zero schedule already IS the floor, so scale 1 is correct there.
+    safe = jnp.where(state.endgame & (lr_now > 0),
+                     cfg.gen_lr_floor / jnp.where(lr_now > 0, lr_now, 1.0),
+                     1.0)
+    return jax.tree.map(lambda u: u * safe, g_updates)
 
 
 def next_endgame(cfg: WGANConfig, state: TrainState, a_res):

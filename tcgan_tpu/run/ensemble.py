@@ -313,7 +313,6 @@ def _run_mm(args, gen_cfg) -> int:
         status = f"aborted: {e}"
     finally:
         rec.close()
-        stop.__exit__()
 
     ckpt.save(int(np.asarray(states.step)[0]), states)
     ckpt.close()
@@ -329,6 +328,11 @@ def _run_mm(args, gen_cfg) -> int:
                       "estimator": "mm",
                       "mean": summary["mean"], "std": summary["std"]}))
     store.finalize(status)
+    # Restore the SIGTERM handler only AFTER the summary/params/finalize
+    # are on disk: a preemption landing during finalization is the exact
+    # window _GracefulStop exists for, and ensemble finalization is
+    # non-trivial for large K (ADVICE r4 #2; driver.py ordering).
+    stop.__exit__()
     return 0
 
 
@@ -496,7 +500,6 @@ def _run(args, gen_cfg, step_fn, model) -> int:
         status = f"aborted: {e}"
     finally:
         rec.close()
-        stop.__exit__()
 
     ckpt.save(int(np.asarray(states.step)[0]), states)
     ckpt.close()
@@ -516,6 +519,11 @@ def _run(args, gen_cfg, step_fn, model) -> int:
     print(json.dumps({"status": status, "n_members": K,
                       "mean": summary["mean"], "std": summary["std"]}))
     store.finalize(status)
+    # Restore the SIGTERM handler only AFTER the summary/params/finalize
+    # are on disk: a preemption landing during finalization is the exact
+    # window _GracefulStop exists for, and ensemble finalization is
+    # non-trivial for large K (ADVICE r4 #2; driver.py ordering).
+    stop.__exit__()
     return 0
 
 
