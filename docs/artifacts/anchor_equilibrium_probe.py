@@ -47,6 +47,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="runs/rec13anchor4")
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--step", type=int, default=0,
+                    help="probe THIS checkpoint step instead of the "
+                         "latest (round-5 adversarial-tax scan: floor ~ "
+                         "lr_g at pre-cooling checkpoints, ROUND5 §3)")
     ap.add_argument("--out",
                     default="docs/artifacts/anchor_equilibrium_probe.json")
     args = ap.parse_args()
@@ -75,7 +79,15 @@ def main():
 
     # --- full endpoint state from the latest checkpoint ---
     root = Path(f"{args.run}/ckpt").resolve()
-    latest = max(int(p.name) for p in root.iterdir() if p.name.isdigit())
+    steps_avail = sorted(int(p.name) for p in root.iterdir()
+                         if p.name.isdigit())
+    if args.step > 0:
+        if args.step not in steps_avail:
+            raise SystemExit(f"--step {args.step} not in checkpoints "
+                             f"{steps_avail}")
+        latest = args.step
+    else:
+        latest = steps_avail[-1]
     ckptr = ocp.PyTreeCheckpointer()
     meta = ckptr.metadata(root / str(latest) / "default")
     restore_args = jax.tree.map(

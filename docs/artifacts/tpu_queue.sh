@@ -144,43 +144,66 @@ if flagship_started && [ "$(left)" -ge 420 ]; then
     -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
-# Threshold 3000 s (was 6000): run.ensemble now survives its timeout
-# gracefully (summary + checkpoint at whatever step it reached), and a
+# Round-5 science queue (replaces round 4c's mmens13/bptt13, both DONE
+# and recorded in BASELINE.md).
+
+# VERDICT r4 next #4: per-member-data mm ensemble at gamma 0.98 — the
+# CRLB-comparable spread measurement. run.ensemble survives its timeout
+# gracefully (summary + checkpoint at whatever step it reached); a
 # ~2.5k-step ensemble from 5% jitter already measures the seed spread.
-if [ "$(left)" -ge 3000 ] && [ ! -d runs/mmens13 ]; then
-  echo "[queue] $(date -u +%H:%M:%S) launching mmens13 (bound $(($(left) - 600))s)" >&2
-  timeout "$(($(left) - 600))" bash docs/artifacts/launch_mmens13.sh \
-    > /tmp/mmens13.log 2>&1
-  echo "[queue] mmens13 rc=$?" >&2
-  # host-side post-processing (no TPU): seed spread vs the identifiability
-  # spectrum for the estimator that recovers parameters
-  timeout 600 python -m tcgan_tpu.analysis.ensemble_view runs/mmens13 \
+if [ "$(left)" -ge 3000 ] && [ ! -d runs/mmens13pm ]; then
+  echo "[queue] $(date -u +%H:%M:%S) launching mmens13pm (bound $(($(left) - 600))s)" >&2
+  timeout "$(($(left) - 600))" bash docs/artifacts/launch_mmens13pm.sh \
+    > /tmp/mmens13pm.log 2>&1
+  echo "[queue] mmens13pm rc=$?" >&2
+  timeout 600 python -m tcgan_tpu.analysis.ensemble_view runs/mmens13pm \
     --jacobian docs/artifacts/jacobian_51013_rich.npz \
-    -o docs/artifacts/mmens13.png > /tmp/mmens13_view.log 2>&1
+    -o docs/artifacts/mmens13pm.png > /tmp/mmens13pm_view.log 2>&1
   echo "[queue] ensemble_view rc=$?" >&2
-  # Durable-commit the ensemble science artifacts too (see eval block).
-  timeout 600 python -m tcgan_tpu.analysis.report runs/mmens13 \
-    -o docs/artifacts/mmens13_report.md > /tmp/mmens13_report.log 2>&1
-  git add docs/artifacts/mmens13.png docs/artifacts/mmens13_report.md 2>/dev/null
-  [ -f runs/mmens13/ensemble_summary.json ] && \
-    cp -f runs/mmens13/ensemble_summary.json docs/artifacts/mmens13_summary.json && \
-    git add docs/artifacts/mmens13_summary.json
+  timeout 600 python -m tcgan_tpu.analysis.report runs/mmens13pm \
+    -o docs/artifacts/mmens13pm_report.md > /tmp/mmens13pm_report.log 2>&1
+  git add docs/artifacts/mmens13pm.png docs/artifacts/mmens13pm_report.md 2>/dev/null
+  [ -f runs/mmens13pm/ensemble_summary.json ] && \
+    cp -f runs/mmens13pm/ensemble_summary.json docs/artifacts/mmens13pm_summary.json && \
+    git add docs/artifacts/mmens13pm_summary.json
   arts=""
-  for f in docs/artifacts/mmens13.png docs/artifacts/mmens13_report.md \
-           docs/artifacts/mmens13_summary.json; do
+  for f in docs/artifacts/mmens13pm.png docs/artifacts/mmens13pm_report.md \
+           docs/artifacts/mmens13pm_summary.json; do
     [ -f "$f" ] && arts="$arts $f"
   done
-  [ -n "$arts" ] && git commit -m "mm-ensemble mmens13: seed spread vs identifiability spectrum (queue auto-record)" \
+  [ -n "$arts" ] && git commit -m "Per-member-data mm ensemble (mmens13pm): member spread vs CRLB floors (queue auto-record)" \
     -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
-# Chip-time permitting: a science-grade BPTT-gradient run (C3 config) so
-# the truncated-scan estimator has a recorded W1 result, not only smoke
-# tests. checkpoint-every 1000 means even a timeout leaves usable data.
-if [ "$(left)" -ge 2400 ] && [ ! -d runs/bptt13 ]; then
-  echo "[queue] $(date -u +%H:%M:%S) launching bptt13 (bound $(($(left) - 300))s)" >&2
-  BPTT_TIMEOUT=$(($(left) - 300)) bash docs/artifacts/launch_bptt13.sh \
-    > /tmp/bptt13.log 2>&1
-  echo "[queue] bptt13 rc=$?" >&2
+# VERDICT r4 next #6 (opportunistic): rich-battery cooling fence — a HOT
+# continuation of the flagship from its checkpoint ~2000 steps before the
+# end, with the adversarial lr floored at its latch-region value (4.2e-5
+# = lr(15k) under the 12k-step decay) instead of cooled to 1e-8, anchor
+# schedule otherwise IDENTICAL. Paired read: the flagship's own cooled
+# tail vs this hot tail over the same absolute step range.
+if [ "$(left)" -ge 4200 ] && [ ! -d runs/rec13fence ] \
+    && [ -d "runs/$RUN/ckpt" ]; then
+  last_ck=$(ls "runs/$RUN/ckpt" | grep -E '^[0-9]+$' | sort -n | tail -1)
+  # resume point: latest checkpoint <= last_ck - 2000, but past the
+  # cooling switch so both arms are post-latch
+  res_ck=$(ls "runs/$RUN/ckpt" | grep -E '^[0-9]+$' | sort -n \
+           | awk -v hi=$((last_ck - 2000)) -v lo="$GEN_LR_SWITCH_STEP" \
+                 '$1 <= hi && $1 >= lo' | tail -1)
+  if [ -n "$res_ck" ]; then
+    echo "[queue] $(date -u +%H:%M:%S) cooling fence from ckpt $res_ck (bound $(($(left) - 900))s)" >&2
+    mkdir -p runs/rec13fence/ckpt
+    cp -r "runs/$RUN/ckpt/$res_ck" "runs/rec13fence/ckpt/$res_ck"
+    RUN=rec13fence GEN_LR_FLOOR=4.2e-5 N_STEPS=$((res_ck + 2000)) \
+      timeout "$(($(left) - 900))" bash -c '. docs/artifacts/flagship_env.sh; $(flagship_cmd)' \
+      > /tmp/rec13fence.log 2>&1
+    echo "[queue] fence rc=$?" >&2
+    timeout 300 python docs/artifacts/cooling_fence_compare.py \
+      --cooled "runs/$RUN" --hot runs/rec13fence --from-step "$res_ck" \
+      > docs/artifacts/cooling_fence.json 2>/tmp/fence_cmp.err
+    echo "[queue] fence compare rc=$?" >&2
+    git add docs/artifacts/cooling_fence.json 2>/dev/null
+    git commit -m "Rich-battery cooling fence: cooled vs hot post-latch tails (queue auto-record)" \
+      -- docs/artifacts/cooling_fence.json >> /tmp/queue.log 2>&1 || true
+  fi
 fi
 echo "[queue] $(date -u +%H:%M:%S) done" >&2
