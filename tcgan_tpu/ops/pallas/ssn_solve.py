@@ -311,10 +311,24 @@ def _solver_kernel(cfg: SSNConfig, block_b: int, s_pad: int, n_pad: int,
         # re-diverge immediately); falsely-flagged rows relax back and
         # converge. Flag parity with the XLA path is decided only by
         # full-precision arithmetic.
+        # pallas_reopen_margin > 0: rows PINNED above margin*rate_stop_at
+        # are hard divergers (bf16 noise is a few %, never 2x) — keep
+        # their flag and phase-1 iteration count so they don't burn the
+        # full-precision budget re-proving it (BASELINE.md round-5
+        # wgan_step root cause). Only the ambiguous near-threshold band
+        # gets the full-precision retrial.
+        if cfg.pallas_reopen_margin > 0:
+            peak1 = jnp.max(mid.r, axis=-1, keepdims=True)
+            keep_div = mid.div * jnp.where(
+                peak1 > cfg.pallas_reopen_margin * cfg.rate_stop_at,
+                1.0, 0.0)
+        else:
+            keep_div = jnp.zeros_like(mid.div)
         init2 = S(it=mid.it, r=mid.r,
                   conv=jnp.zeros_like(mid.conv),
-                  div=jnp.zeros_like(mid.div),
-                  iters=jnp.full_like(mid.iters, float(cfg.max_iter)),
+                  div=keep_div,
+                  iters=keep_div * mid.iters
+                  + (1.0 - keep_div) * float(cfg.max_iter),
                   # Anderson history does NOT carry across the phase
                   # boundary: phase 2's chunk map differs (precision /
                   # refine form), so the phase-1 secant would mislead the

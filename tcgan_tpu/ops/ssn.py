@@ -82,6 +82,21 @@ class SSNConfig:
     # fixed point / residual criterion; ~2x measured end-to-end speedup
     # (the HIGHEST tail was the wall-time bottleneck).
     pallas_refine: bool = True
+    # Phase-2 divergence-reopen margin (two-phase kernel only). The
+    # round-3 correctness fix reopens phase-1-diverged rows in the
+    # HIGHEST-precision phase 2 because a bf16-pass peak test near
+    # rate_stop_at can falsely flag valid near-critical circuits (its
+    # ~0.4% matmul noise is amplified ~n-fold through f(u)=k*u^n — a few
+    # per cent at the threshold, never 2x). But reopening EVERY diverged
+    # row lets oscillatory true divergers burn the remaining phase-2
+    # budget, costing ~2.4x per step on divergence-heavy workloads
+    # (BASELINE.md round-5 wgan_step root cause). With margin m > 0,
+    # rows whose phase-1 rates are pinned ABOVE m*rate_stop_at stay
+    # flagged — unreachable by precision noise, so the false-positive
+    # band [stop_at, m*stop_at) still gets its full-precision retrial
+    # while hard divergers keep their flag. 0 = reopen all (round-3/4
+    # behavior).
+    pallas_reopen_margin: float = 0.0
     check_every: int = 1  # convergence-check stride (both backends)
     # Time stepper: "euler" (reference-faithful forward Euler,
     # r += (dt/tau)(-r + f(u))) or "expo" (exponential Euler,

@@ -220,3 +220,48 @@ def test_pallas_anderson_matches_xla_fixed_point():
                                rtol=1e-4, atol=1e-5)
     assert int(np.asarray(out.iters).max()) <= int(
         np.asarray(plain.iters).max())
+
+
+def test_reopen_margin_same_flags_fewer_iters():
+    """pallas_reopen_margin keeps HARD divergers (rates pinned above
+    margin*rate_stop_at at the phase boundary) flagged through phase 2
+    instead of re-proving their divergence at full precision — same
+    flags and same converged rates as margin=0 and as the XLA reference,
+    strictly fewer (or equal) recorded iterations on the diverged rows
+    (BASELINE.md round-5 wgan_step root cause)."""
+    import dataclasses
+
+    cfg = SSNConfig(N=4, k=0.05, n=2.2, dt=0.002, max_iter=512,
+                    rate_stop_at=200.0, atol=1e-4, check_every=32)
+    n2 = cfg.num_neurons
+    # mixed batch: 2 hard divergers + 2 convergers
+    W_bad = 8.0 * jnp.abs(jax.random.normal(jax.random.PRNGKey(0),
+                                            (2, n2, n2)))
+    W_ok = 0.01 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                            (2, n2, n2)))
+    W = jnp.concatenate([W_bad, W_ok])
+    # I=10: feedforward rate k*10^n ~ 8 Hz (convergers stay tame);
+    # the W_bad recurrence still blows past rate_stop_at
+    I = 10.0 * jnp.ones((1, n2), jnp.float32)
+
+    ref = fixed_point.solve_fixed_point(cfg, W, I, check_every=32)
+    out0 = solve_fixed_point_pallas(cfg, W, I, block_b=4, check_every=32,
+                                    interpret=True)
+    cfg_m = dataclasses.replace(cfg, pallas_reopen_margin=2.0)
+    outm = solve_fixed_point_pallas(cfg_m, W, I, block_b=4, check_every=32,
+                                    interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(outm.diverged),
+                                  np.asarray(ref.diverged))
+    np.testing.assert_array_equal(np.asarray(outm.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_array_equal(np.asarray(outm.diverged),
+                                  np.asarray(out0.diverged))
+    assert bool(ref.diverged[:2].all()) and bool(ref.converged[2:].all())
+    # converged rates unchanged by the margin
+    np.testing.assert_allclose(np.asarray(outm.r[2:]),
+                               np.asarray(out0.r[2:]), rtol=1e-5,
+                               atol=1e-6)
+    # hard divergers keep their cheap phase-1 iteration record
+    assert np.all(np.asarray(outm.iters)[:2] <=
+                  np.asarray(out0.iters)[:2])
