@@ -89,6 +89,17 @@ def add_ssn_flags(p: argparse.ArgumentParser):
     g.add_argument("--pallas-refine", choices=("on", "off"), default="on",
                    help="iterative-refinement tail (DEFAULT-precision "
                         "correction steps around a HIGHEST anchor)")
+    g.add_argument("--pallas-reopen-margin", type=float, default=0.0,
+                   help="phase-2 divergence-reopen margin: rows whose "
+                        "phase-1 rates are pinned above MARGIN * "
+                        "rate-stop-at stay flagged through the "
+                        "full-precision tail instead of re-proving their "
+                        "divergence (saves up to ~2.4x per step on "
+                        "divergence-heavy batches; BASELINE.md round-5 "
+                        "wgan_step root cause). 0 = reopen all (round-3/4 "
+                        "behavior); 2.0 is the validated setting — bf16 "
+                        "peak-test noise is a few per cent at the "
+                        "threshold, never 2x")
     g.add_argument("--init", choices=("zero", "feedforward"), default="zero",
                    help="fixed-point initial rates: zeros (reference) or "
                         "the feedforward estimate f(I)")
@@ -517,6 +528,7 @@ def ssn_config_from_args(args) -> SSNConfig:
         pallas_block_b=args.pallas_block_b,
         pallas_two_phase=(args.pallas_two_phase == "on"),
         pallas_refine=(args.pallas_refine == "on"),
+        pallas_reopen_margin=getattr(args, "pallas_reopen_margin", 0.0),
         stepper=args.stepper,
         init=args.init,
         accel=getattr(args, "accel", "none"),

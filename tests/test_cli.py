@@ -89,6 +89,7 @@ def test_gan_cli_end_to_end(tmp_path):
     assert abs(float(gen_first.split(",")[1]) - 0.02) < 1e-3
 
 
+@pytest.mark.slowtest
 def test_gan_cli_normalize_input_and_resume(tmp_path):
     d = str(tmp_path / "gn")
     rc = gan.main(TINY_GAN + ["--datastore", d, "--normalize-input",

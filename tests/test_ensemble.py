@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tcgan_tpu.models import ensemble as ens_lib
 from tcgan_tpu.models import generator as gen_lib
@@ -24,6 +25,7 @@ TINY_CLI = [
 ]
 
 
+@pytest.mark.slowtest
 def test_ensemble_member_matches_single_fit():
     """A stacked K=1 ensemble step must reproduce the single train_step
     bit-for-bit: vmap adds members, not semantics."""
@@ -48,6 +50,7 @@ def test_ensemble_member_matches_single_fit():
             np.asarray(new_single.gen_params[k]), rtol=1e-12)
 
 
+@pytest.mark.slowtest
 def test_ensemble_members_independent_and_jittered():
     cfg = tiny_wgan_cfg(batch_size=2, critic_layers=(8,))
     gen_init = gen_lib.init_params(cfg.gen)
@@ -114,6 +117,7 @@ def test_ensemble_cli_end_to_end(tmp_path):
     assert info["status"] == "finished"
 
 
+@pytest.mark.slowtest
 def test_sharded_ensemble_matches_unsharded():
     """Members sharded over the 8-device mesh must equal the single-device
     vmap result (same program, different partitioning)."""
@@ -208,6 +212,7 @@ def test_ensemble_loader_and_view(tmp_path):
     assert (tmp_path / "ens.png").exists()
 
 
+@pytest.mark.slowtest
 def test_ensemble_cli_resume(tmp_path):
     from tcgan_tpu.run import ensemble as ens_cli
 
@@ -228,6 +233,7 @@ def test_ensemble_cli_resume(tmp_path):
     assert steps == [0, 1, 2, 3]
 
 
+@pytest.mark.slowtest
 def test_mm_ensemble_member_matches_single_fit():
     """A stacked K=1 MOMENT-MATCHING ensemble step must reproduce the
     single mm train_step bit-for-bit (VERDICT r2 #9)."""

@@ -372,6 +372,7 @@ def test_moment_matching_fixed_z_is_deterministic():
     assert float(n1.loss) != float(n2.loss)
 
 
+@pytest.mark.slowtest
 def test_moment_ema_reduces_residual_noise():
     """With params FIXED, the EMA'd moment residual after many steps is far
     less noisy than single-batch residuals (effective sample grows)."""
@@ -509,6 +510,7 @@ def test_survivor_chain_absorbing_state_fallback():
     np.testing.assert_allclose(w, np.asarray(conv, float))
 
 
+@pytest.mark.slowtest
 def test_critic_lr_decay_split():
     import optax  # noqa: F401  (optimizers built through wgan_lib)
 
