@@ -89,6 +89,15 @@ class WGANConfig:
     # TrainState.endgame so a residual that wanders back up cannot
     # re-heat the schedule.
     gen_lr_switch_residual: float = 0.0
+    # Arming step for the residual trigger (live measurement, flagship
+    # rec13recipe5 step 205): on a RIDGE start the whitened moment
+    # residual is small BOTH at the start (moments barely move along the
+    # ridge — that is what makes it a ridge) and near truth, so an
+    # unarmed threshold latches on the warm-up/ridge artifact and cools
+    # the critic before its early-game work. The residual trigger only
+    # arms from this step on; the gen_lr_switch_step hard backstop is
+    # unaffected.
+    gen_lr_switch_min_step: int = 0
     # critic-side decay horizon: -1 = follow lr_decay_steps; 0 = constant
     # critic lr even when the generator decays. Keeping the critic lr
     # undecayed preserves its per-batch signal on heavy-tailed
@@ -576,6 +585,9 @@ def next_endgame(cfg: WGANConfig, state: TrainState, a_res):
     if state.endgame is None:
         return None
     fired = a_res < cfg.gen_lr_switch_residual
+    if cfg.gen_lr_switch_min_step > 0:
+        fired = jnp.logical_and(fired,
+                                state.step >= cfg.gen_lr_switch_min_step)
     return jnp.logical_or(state.endgame, fired)
 
 

@@ -261,6 +261,13 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "the run's data floor — the flagship's "
                         "equilibrium residual was ~2e-5 over a 7.8e-6 "
                         "noise floor)")
+    g.add_argument("--gen-lr-switch-min-step", type=int, default=0,
+                   help="arm the residual trigger only from this step on. "
+                        "On a ridge start the whitened residual is small "
+                        "both at the START (moments barely move along the "
+                        "ridge) and near truth — measured live: flagship "
+                        "rec13recipe5's unarmed trigger latched at step "
+                        "205 (BASELINE.md round 5)")
     g.add_argument("--adaptive-max-iter", choices=("on", "off"),
                    default="on",
                    help="adaptive train-time solver budget: cap max_iter "

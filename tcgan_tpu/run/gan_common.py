@@ -104,6 +104,7 @@ def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
         gen_lr_floor=getattr(args, "gen_lr_floor", 0.0),
         gen_lr_switch_step=getattr(args, "gen_lr_switch_step", 0),
         gen_lr_switch_residual=getattr(args, "gen_lr_switch_residual", 0.0),
+        gen_lr_switch_min_step=getattr(args, "gen_lr_switch_min_step", 0),
         ema_decay=args.gen_ema,
         reject_unconverged=getattr(args, "reject_unconverged", False),
         moment_anchor=getattr(args, "moment_anchor", 0.0),

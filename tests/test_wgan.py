@@ -832,3 +832,29 @@ def test_two_phase_moment_ema_switch():
     b_pre = (np.asarray(em_pre) - 0.995 * 0.5) / 0.005
     b_post = (np.asarray(em_post) - 0.9 * 0.5) / 0.1
     np.testing.assert_allclose(b_pre, b_post, rtol=1e-4)
+
+
+def test_gen_lr_switch_min_step_arms_trigger():
+    """The residual trigger must not latch before gen_lr_switch_min_step
+    (flagship rec13recipe5: the unarmed trigger latched at step 205 on
+    the ridge start's small whitened residual — BASELINE.md round 5);
+    from the arming step on, the same residual latches normally."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.9,
+                        gen_lr_floor=0.0,
+                        gen_lr_switch_residual=1e30,  # fires on anything
+                        gen_lr_switch_min_step=3)
+    real = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim),
+        dtype=jnp.float64) * 0.1 + 1.0
+    s = wgan_lib.init_state(cfg, data_moments=dmom)
+    for i in range(2):  # steps 0, 1 — below the arming step
+        s, _ = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(i))
+        assert not bool(s.endgame), f"latched before min_step at step {i}"
+    s, _ = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(5))
+    assert not bool(s.endgame)  # step 2 still below min_step 3
+    s, _ = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(6))
+    assert bool(s.endgame)  # latched at step 3
