@@ -175,35 +175,59 @@ if [ "$(left)" -ge 3000 ] && [ ! -d runs/mmens13pm ]; then
     -- $arts >> /tmp/queue.log 2>&1 || true
 fi
 
-# VERDICT r4 next #6 (opportunistic): rich-battery cooling fence — a HOT
-# continuation of the flagship from its checkpoint ~2000 steps before the
-# end, with the adversarial lr floored at its latch-region value (4.2e-5
-# = lr(15k) under the 12k-step decay) instead of cooled to 1e-8, anchor
-# schedule otherwise IDENTICAL. Paired read: the flagship's own cooled
-# tail vs this hot tail over the same absolute step range.
-if [ "$(left)" -ge 4200 ] && [ ! -d runs/rec13fence ] \
+# VERDICT r4 next #6 + #5 (opportunistic): rich-battery cooling fence /
+# adversarial-tax scaling — TWO hot continuations of the flagship from a
+# late checkpoint, with the adversarial lr floored at 4.2e-5 and at
+# 1.4e-5 (3x apart), anchor schedule otherwise IDENTICAL. Paired read:
+# the flagship's own cooled tail vs each hot tail over the same absolute
+# step range; if the equilibrium model holds, the hot arms' J/D floors
+# scale ~ lr (ROUND5 §3's floor~lr_g test, made direct by the fact that
+# the recipe run latched at step 205 and has no live lr_g of its own).
+if [ "$(left)" -ge 3600 ] && [ ! -d runs/rec13fence_a ] \
     && [ -d "runs/$RUN/ckpt" ]; then
   last_ck=$(ls "runs/$RUN/ckpt" | grep -E '^[0-9]+$' | sort -n | tail -1)
-  # resume point: latest checkpoint <= last_ck - 2000, but past the
-  # cooling switch so both arms are post-latch
+  # resume point: latest checkpoint <= last_ck - 2000 and past the gate
+  # window start, so both arms share every schedule event in the range
   res_ck=$(ls "runs/$RUN/ckpt" | grep -E '^[0-9]+$' | sort -n \
-           | awk -v hi=$((last_ck - 2000)) -v lo="$GEN_LR_SWITCH_STEP" \
+           | awk -v hi=$((last_ck - 2000)) -v lo="$GATE_STEP" \
                  '$1 <= hi && $1 >= lo' | tail -1)
   if [ -n "$res_ck" ]; then
-    echo "[queue] $(date -u +%H:%M:%S) cooling fence from ckpt $res_ck (bound $(($(left) - 900))s)" >&2
-    mkdir -p runs/rec13fence/ckpt
-    cp -r "runs/$RUN/ckpt/$res_ck" "runs/rec13fence/ckpt/$res_ck"
-    RUN=rec13fence GEN_LR_FLOOR=4.2e-5 N_STEPS=$((res_ck + 2000)) \
-      timeout "$(($(left) - 900))" bash -c '. docs/artifacts/flagship_env.sh; $(flagship_cmd)' \
-      > /tmp/rec13fence.log 2>&1
-    echo "[queue] fence rc=$?" >&2
-    timeout 300 python docs/artifacts/cooling_fence_compare.py \
-      --cooled "runs/$RUN" --hot runs/rec13fence --from-step "$res_ck" \
-      > docs/artifacts/cooling_fence.json 2>/tmp/fence_cmp.err
-    echo "[queue] fence compare rc=$?" >&2
-    git add docs/artifacts/cooling_fence.json 2>/dev/null
-    git commit -m "Rich-battery cooling fence: cooled vs hot post-latch tails (queue auto-record)" \
-      -- docs/artifacts/cooling_fence.json >> /tmp/queue.log 2>&1 || true
+    for arm in a b; do
+      [ "$arm" = a ] && HOTLR=4.2e-5 || HOTLR=1.4e-5
+      [ "$(left)" -ge 1500 ] || break
+      echo "[queue] $(date -u +%H:%M:%S) fence arm $arm (lr $HOTLR) from ckpt $res_ck (bound $(($(left) - 600))s)" >&2
+      mkdir -p "runs/rec13fence_$arm/ckpt"
+      cp -r "runs/$RUN/ckpt/$res_ck" "runs/rec13fence_$arm/ckpt/$res_ck"
+      RUN="rec13fence_$arm" GEN_LR_FLOOR="$HOTLR" N_STEPS=$((res_ck + 2000)) \
+        timeout "$(($(left) - 600))" bash -c '. docs/artifacts/flagship_env.sh; $(flagship_cmd)' \
+        > "/tmp/rec13fence_$arm.log" 2>&1
+      echo "[queue] fence arm $arm rc=$?" >&2
+    done
+    for arm in a b; do
+      [ -d "runs/rec13fence_$arm" ] || continue
+      timeout 300 python docs/artifacts/cooling_fence_compare.py \
+        --cooled "runs/$RUN" --hot "runs/rec13fence_$arm" \
+        --from-step "$res_ck" \
+        > "docs/artifacts/cooling_fence_$arm.json" 2>/tmp/fence_cmp.err
+      echo "[queue] fence compare $arm rc=$?" >&2
+      git add "docs/artifacts/cooling_fence_$arm.json" 2>/dev/null
+    done
+    git commit -m "Rich-battery cooling fence: cooled vs hot post-latch tails at two hot lrs (queue auto-record)" \
+      -- docs/artifacts/cooling_fence_a.json docs/artifacts/cooling_fence_b.json \
+      >> /tmp/queue.log 2>&1 || true
   fi
+fi
+
+# On-device reopen-margin validation (BASELINE.md round-5 wgan_step root
+# cause): flag parity on a divergence-heavy batch + wgan step cost at
+# margin 0 vs 2.0, one TPU process, ~10 min.
+if [ "$(left)" -ge 900 ] && [ ! -f docs/artifacts/reopen_margin_probe.json ]; then
+  echo "[queue] $(date -u +%H:%M:%S) reopen-margin probe (bound $(($(left) - 120))s)" >&2
+  timeout "$(($(left) - 120))" python docs/artifacts/reopen_margin_probe.py \
+    > docs/artifacts/reopen_margin_probe.json 2>/tmp/margin_probe.err
+  echo "[queue] margin probe rc=$?" >&2
+  git add docs/artifacts/reopen_margin_probe.json 2>/dev/null
+  git commit -m "On-device reopen-margin validation: flag parity + wgan step cost (queue auto-record)" \
+    -- docs/artifacts/reopen_margin_probe.json >> /tmp/queue.log 2>&1 || true
 fi
 echo "[queue] $(date -u +%H:%M:%S) done" >&2
