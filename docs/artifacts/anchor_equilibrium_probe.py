@@ -167,6 +167,16 @@ def main():
         float(info.get("lr_decay_rate", 0.5))
         ** (step / info["lr_decay_steps"])
         if info.get("lr_decay_steps", 0) > 0 else 1.0)
+    # Endgame-latch awareness (round 5): if the checkpoint carries a
+    # LATCHED endgame flag, the adversarial update is scaled so its
+    # effective lr is gen_lr_floor — the schedule value above is then the
+    # COUNTERFACTUAL hot lr, and the actual adversarial drift is
+    # floor/schedule times the reported one.
+    endgame = bool(np.asarray(raw["endgame"])) if "endgame" in raw else None
+    lr_floor = float(info.get("gen_lr_floor", 0.0))
+    lr_gen_actual = (lr_floor if (endgame and lr_floor > 0
+                                  and lr_floor < lr_gen)
+                     else lr_gen)
     k_updates = int(info.get("anchor_updates", 1))
     lr_anchor = float(info.get("moment_anchor", 0.0))
 
@@ -178,6 +188,12 @@ def main():
 
     result = {"run": args.run, "ckpt_step": step, "batches": args.batches,
               "batch_size": cfg.batch_size, "lr_gen_eff": lr_gen,
+              "endgame_latched": endgame,
+              "lr_gen_actual": lr_gen_actual,
+              "note": ("coords[].adv uses the SCHEDULED lr (lr_gen_eff); "
+                       "with endgame_latched the realized adversarial "
+                       "drift is (lr_gen_actual/lr_gen_eff) x that — the "
+                       "scheduled number is the counterfactual hot arm"),
               "k_anchor_updates": k_updates, "lr_anchor": lr_anchor,
               "coords": {}}
     hdr = (f"{'coord':6s} {'d_truth':>8s} | {'adv snr':>8s} "
