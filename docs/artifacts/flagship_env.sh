@@ -57,17 +57,23 @@ resume_pending() {
 STOP_AT=${STOP_AT:-$(date -u -d "2026-08-20 04:30" +%s)}
 LAST_CALL=${LAST_CALL:-$(date -u -d "2026-08-20 04:40" +%s)}
 END_AT=${END_AT:-$(date -u -d "2026-08-20 06:10" +%s)}
+# 00:17 Aug 20: the sandbox VM rebooted, killing the 21:14 launch at
+# step ~10k and wiping runs/ (gitignored, local disk). Relaunch 00:58
+# with the SAME recipe, schedule times rescaled to the rates the first
+# attempt measured (J 30->9.1% by 5k, D -2%/1k, 0.45-0.65 s/step):
+# gamma switch 13000->10000, N_STEPS 30000->17000, cooling backstop
+# 15000->12000. Amendment recorded in BASELINE.md BEFORE the endpoint.
 export GATE_STEP=${GATE_STEP:-8000}
-N_STEPS=${N_STEPS:-30000}
+N_STEPS=${N_STEPS:-17000}
 ANCHOR=${ANCHOR:-1e-3}
 ANCHOR_EMA=${ANCHOR_EMA:-0.995}
 ANCHOR_EMA_LATE=${ANCHOR_EMA_LATE:-0.98}
-ANCHOR_EMA_SWITCH=${ANCHOR_EMA_SWITCH:-13000}
+ANCHOR_EMA_SWITCH=${ANCHOR_EMA_SWITCH:-10000}
 ANCHOR_B1=${ANCHOR_B1:-0.5}
 ANCHOR_UPDATES=${ANCHOR_UPDATES:-8}
 GEN_LR_FLOOR=${GEN_LR_FLOOR:-1e-8}
 GEN_LR_SWITCH_RESIDUAL=${GEN_LR_SWITCH_RESIDUAL:-2e-5}
-GEN_LR_SWITCH_STEP=${GEN_LR_SWITCH_STEP:-15000}
+GEN_LR_SWITCH_STEP=${GEN_LR_SWITCH_STEP:-12000}
 
 last_step() {
   tail -1 "runs/$RUN/generator.csv" 2>/dev/null | cut -d, -f1
