@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--cooled", required=True)
     ap.add_argument("--hot", required=True)
     ap.add_argument("--from-step", type=int, required=True)
+    ap.add_argument("--labels", nargs=2, default=["cooled", "hot"],
+                    help="arm names for the output keys/verdict (the "
+                         "script compares ANY two tails from the same "
+                         "checkpoint; e.g. 'g0.98 g0.995' for the "
+                         "gamma counterfactual)")
     args = ap.parse_args()
 
     info = json.load(open(f"{args.cooled}/info.json"))["config"]
@@ -55,17 +60,27 @@ def main():
 
     cooled = tail_errors(args.cooled, args.from_step, truth)
     hot = tail_errors(args.hot, args.from_step, truth)
+    la, lb = args.labels
     verdict = None
     if cooled and hot:
-        verdict = ("cooling helps (or ties)"
-                   if (cooled["J"]["tail_mean"] <= hot["J"]["tail_mean"]
-                       + 0.002
-                       and cooled["D"]["tail_mean"]
-                       <= hot["D"]["tail_mean"] + 0.002)
-                   else "cooling hurts on this battery — revisit "
-                        "--gen-lr-switch-* defaults (VERDICT r4 next #6)")
-    print(json.dumps({"from_step": args.from_step, "cooled": cooled,
-                      "hot": hot, "verdict": verdict}, indent=2))
+        if [la, lb] == ["cooled", "hot"]:
+            verdict = ("cooling helps (or ties)"
+                       if (cooled["J"]["tail_mean"]
+                           <= hot["J"]["tail_mean"] + 0.002
+                           and cooled["D"]["tail_mean"]
+                           <= hot["D"]["tail_mean"] + 0.002)
+                       else "cooling hurts on this battery — revisit "
+                            "--gen-lr-switch-* defaults (VERDICT r4 next #6)")
+        else:
+            # Generic two-arm read: report which arm each family favors
+            # (tail_last, i.e. the endpoint of the shared step range).
+            fams = {f: (la if cooled[f]["tail_last"]
+                        <= hot[f]["tail_last"] else lb)
+                    for f in ("J", "D", "S")}
+            verdict = ("endpoint favors: "
+                       + ", ".join(f"{f}->{w}" for f, w in fams.items()))
+    print(json.dumps({"from_step": args.from_step, la: cooled,
+                      lb: hot, "verdict": verdict}, indent=2))
 
 
 if __name__ == "__main__":
