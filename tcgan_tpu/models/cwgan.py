@@ -235,7 +235,8 @@ def train_step_impl(
         (real_stack, keys_c),
     )
 
-    from tcgan_tpu.models.wgan import (apply_anchor_update, next_endgame,
+    from tcgan_tpu.models.wgan import (apply_anchor_update,
+                                       next_drift_latch, next_endgame,
                                        scale_updates_for_endgame)
 
     (g_loss, (pen, fconv, fdiv, miters, cyield)), g_grads = jax.value_and_grad(
@@ -253,6 +254,7 @@ def train_step_impl(
     gen_params, anchor_state, a_res = apply_anchor_update(
         cfg, state, gen_params, key_g,
         gen_cfg=dataclasses.replace(cfg.gen, track_offset_identity=True))
+    drift_fields, drift_ratio = next_drift_latch(cfg, state, gen_params)
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -266,6 +268,7 @@ def train_step_impl(
         step=state.step + 1, ema_params=ema_params,
         data_mean=state.data_mean, data_second=state.data_second,
         endgame=next_endgame(cfg, state, a_res),
+        **drift_fields,
         **anchor_state,
     )
     metrics = StepMetrics(
@@ -276,6 +279,7 @@ def train_step_impl(
         acc_iters=accs,
         anchor_residual=a_res,
         circuit_yield=cyield,
+        drift_ratio=drift_ratio,
     )
     return new_state, metrics
 

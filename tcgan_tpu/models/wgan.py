@@ -139,6 +139,24 @@ class WGANConfig:
     # composable with the gen_lr_switch_* critic cooling.
     anchor_ema_late: float = 0.0
     anchor_ema_switch_step: int = 0
+    # Drift-latched late gamma (round-5 rec13recipe5 + rec13gammactl
+    # counterfactual, BASELINE.md flagship findings 4-6): a step-count
+    # gamma switch tuned on J froze D's remaining -10% bias the moment it
+    # fired mid-descent — the fast gamma rectifies residual noise into a
+    # static offset for any family still systematically moving, while
+    # the same gamma is the measured optimum once motion is orbit-like.
+    # With anchor_ema_switch_drift > 0 the late gamma engages via a LATCH
+    # on the observable (truth-free) drift ratio instead of the step
+    # count: per parameter component, |EMA(delta)| / EMA(|delta|) is ~1
+    # during directional descent and ~0 inside a limit cycle; the latch
+    # fires when the MAX over components first drops below this
+    # threshold (so no family that is still descending can be frozen),
+    # and anchor_ema_switch_step becomes the ARMING step (no latch
+    # before it; 0 = armed from the start — safe, the ratio starts at
+    # exactly 1). Both EMAs share anchor_drift_ema, so the warm-up
+    # debias factor cancels in the ratio.
+    anchor_ema_switch_drift: float = 0.0
+    anchor_drift_ema: float = 0.995  # ~200-step window at the default
     moment_eps: float = 1e-2  # moment-normalization floor (as in mm)
     # beta1 for the anchor's OWN Adam (None = the WGAN beta1, 0.5). The
     # anchor's drift per step is ~lr x gradient-SNR; along the weakly
@@ -197,6 +215,13 @@ class TrainState(NamedTuple):
     # only; else None): bool scalar, flips once when the anchor residual
     # first crosses the threshold and never flips back.
     endgame: Any = None
+    # Drift-latched late-gamma state (cfg.anchor_ema_switch_drift > 0
+    # only; else None, so checkpoints from runs without the feature keep
+    # their tree structure): EMAs of the per-step parameter deltas
+    # (signed, and absolute) plus the one-way latch bool.
+    drift_dir: Any = None
+    drift_mag: Any = None
+    gamma_late: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -228,6 +253,10 @@ class StepMetrics(NamedTuple):
     # before frac_diverged looks alarming: at 24 conditions/circuit, 9%
     # per-solve divergence is ~0% circuit yield.
     circuit_yield: jnp.ndarray | None = None
+    # max-over-components |EMA(delta)|/EMA(|delta|) drift ratio
+    # (cfg.anchor_ema_switch_drift > 0 only) — recorded so the latch
+    # threshold is tunable from the learning stream, like anchor_residual
+    drift_ratio: jnp.ndarray | None = None
 
 
 def gen_lr_schedule(cfg: WGANConfig):
@@ -322,6 +351,12 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
         raise ValueError("anchor_ema_late schedules the moment anchor's "
                          "EMA — it requires moment_anchor > 0 (same "
                          "error-loudly rule as moments.moment_ema_late)")
+    if cfg.anchor_ema_switch_drift > 0 and cfg.anchor_ema_late <= 0:
+        raise ValueError("anchor_ema_switch_drift latches the LATE anchor "
+                         "gamma — it requires anchor_ema_late > 0 "
+                         "(error-loudly rule: a drift threshold with no "
+                         "late gamma to switch to would be silently inert)")
+    drift = cfg.anchor_ema_switch_drift > 0
     return TrainState(
         gen_params=gen_params,
         gen_opt=gen_tx.init(gen_params),
@@ -332,6 +367,11 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
                     if cfg.ema_decay > 0 else None),
         endgame=(jnp.zeros((), bool)
                  if cfg.gen_lr_switch_residual > 0 else None),
+        drift_dir=(jax.tree.map(jnp.zeros_like, gen_params)
+                   if drift else None),
+        drift_mag=(jax.tree.map(jnp.zeros_like, gen_params)
+                   if drift else None),
+        gamma_late=jnp.zeros((), bool) if drift else None,
         **anchor_buffers(cfg, data_moments, gen_params),
     )
 
@@ -433,6 +473,58 @@ def gen_loss_fn(cfg: WGANConfig, gen_params, critic_params, key):
     return loss, stats
 
 
+def anchor_gamma(cfg: WGANConfig, state: TrainState):
+    """EMA decay for this step's anchor moment blend. Drift-latched mode
+    (``anchor_ema_switch_drift > 0``) takes precedence over the step-count
+    switch: the late gamma engages when TrainState.gamma_late has latched
+    (see next_drift_latch), not at a blind step count — the rec13recipe5
+    lesson that a step switch tuned on J froze D's bias mid-descent."""
+    if cfg.anchor_ema_switch_drift > 0 and state.gamma_late is not None:
+        return jnp.where(state.gamma_late,
+                         jnp.asarray(cfg.anchor_ema_late),
+                         jnp.asarray(cfg.moment_ema))
+    from tcgan_tpu.models.moments import effective_gamma
+    return effective_gamma(cfg, state.step, base=cfg.moment_ema,
+                           late=cfg.anchor_ema_late,
+                           switch=cfg.anchor_ema_switch_step)
+
+
+def next_drift_latch(cfg: WGANConfig, state: TrainState, new_gen_params):
+    """Advance the drift-latched late-gamma state from this step's actual
+    parameter movement (anchor + adversarial combined). Returns
+    ``(fields, ratio)``: the three TrainState fields as a dict (None-gated
+    exactly like anchor_buffers, so the feature is checkpoint-compatible
+    when off) and the scalar drift ratio for the learning stream (None
+    when off).
+
+    The detector: per component, ``|EMA(delta)| / EMA(|delta|)`` is ~1
+    while the component drifts directionally (descent — D's state when
+    the rec13recipe5 step-switch froze it) and falls toward 0 once the
+    motion is a limit cycle (J's state, where the fast gamma is the
+    measured optimum). Latching on the MAX over components means no
+    family still descending can be frozen. Both EMAs share the decay, so
+    the zero-init warm-up bias cancels in the ratio (it starts at exactly
+    1 — the safe, no-latch side)."""
+    if state.drift_dir is None:
+        return dict(drift_dir=None, drift_mag=None,
+                    gamma_late=state.gamma_late), None
+    b = jnp.asarray(cfg.anchor_drift_ema)
+    delta = jax.tree.map(lambda n, o: n - o, new_gen_params,
+                         state.gen_params)
+    drift_dir = jax.tree.map(lambda e, d: b * e + (1.0 - b) * d,
+                             state.drift_dir, delta)
+    drift_mag = jax.tree.map(lambda e, d: b * e + (1.0 - b) * jnp.abs(d),
+                             state.drift_mag, delta)
+    per_leaf = [jnp.max(jnp.abs(a) / (m + 1e-12))
+                for a, m in zip(jax.tree.leaves(drift_dir),
+                                jax.tree.leaves(drift_mag))]
+    ratio = jnp.max(jnp.stack(per_leaf))
+    armed = (state.step + 1) >= cfg.anchor_ema_switch_step
+    fired = jnp.logical_and(armed, ratio < cfg.anchor_ema_switch_drift)
+    return dict(drift_dir=drift_dir, drift_mag=drift_mag,
+                gamma_late=jnp.logical_or(state.gamma_late, fired)), ratio
+
+
 def anchor_loss(cfg, state: TrainState, out):
     """Moment-anchor term (see WGANConfig.moment_anchor): survivor-masked
     EMA-averaged moment residual of the generated TCs against the frozen
@@ -453,11 +545,7 @@ def anchor_loss(cfg, state: TrainState, out):
     if tc.shape[0] != ok.shape[0]:
         ok = jnp.repeat(ok, tc.shape[0] // ok.shape[0])
     w = ok
-    from tcgan_tpu.models.moments import effective_gamma
-
-    g = effective_gamma(cfg, state.step, base=cfg.moment_ema,
-                        late=cfg.anchor_ema_late,
-                        switch=cfg.anchor_ema_switch_step)
+    g = anchor_gamma(cfg, state)
     sg = jax.lax.stop_gradient
     bmean, bsecond = batch_moments(tc, w)
     # Zero-survivor guard: a batch where not even one solve converged
@@ -636,6 +724,7 @@ def train_step_impl(
 
     gen_params, anchor_state, a_res = apply_anchor_update(
         cfg, state, gen_params, key_g)
+    drift_fields, drift_ratio = next_drift_latch(cfg, state, gen_params)
 
     ema_params = state.ema_params
     if cfg.ema_decay > 0 and ema_params is not None:
@@ -653,6 +742,7 @@ def train_step_impl(
         data_mean=state.data_mean,
         data_second=state.data_second,
         endgame=next_endgame(cfg, state, a_res),
+        **drift_fields,
         **anchor_state,
     )
     metrics = StepMetrics(
@@ -671,6 +761,7 @@ def train_step_impl(
         acc_iters=accs,
         anchor_residual=a_res,
         circuit_yield=cyield,
+        drift_ratio=drift_ratio,
     )
     return new_state, metrics
 

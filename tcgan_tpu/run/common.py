@@ -199,7 +199,26 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "descend-then-damp in one run")
     g.add_argument("--anchor-ema-switch-step", type=int, default=0,
                    help="GAN step at which --anchor-ema-late takes over "
-                        "(0 = off)")
+                        "(0 = off). With --anchor-ema-switch-drift this "
+                        "becomes the ARMING step instead (no latch "
+                        "before it)")
+    g.add_argument("--anchor-ema-switch-drift", type=float, default=0.0,
+                   help="drift-latched late gamma (0 = off): engage "
+                        "--anchor-ema-late when the max-over-components "
+                        "drift ratio |EMA(delta)|/EMA(|delta|) of the "
+                        "generator params first drops below this value "
+                        "(~1 during directional descent, ~0 inside a "
+                        "limit cycle; try 0.25). Measured motivation "
+                        "(rec13recipe5 + rec13gammactl counterfactual, "
+                        "BASELINE.md): a step-count switch tuned on J "
+                        "froze D's bias mid-descent; the latch cannot "
+                        "freeze a family that is still moving. Recorded "
+                        "per step as drift_ratio in learning.jsonl")
+    g.add_argument("--anchor-drift-ema", type=float, default=0.995,
+                   help="decay for the drift detector's delta EMAs "
+                        "(~200-step window at the default; both EMAs "
+                        "share it so the warm-up bias cancels in the "
+                        "ratio)")
     g.add_argument("--anchor-updates", type=int, default=1,
                    help="anchor Adam updates per GAN step (fresh "
                         "generator batch each). The anchor's ridge-"

@@ -111,6 +111,9 @@ def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
         moment_ema=getattr(args, "anchor_ema", 0.995),
         anchor_ema_late=getattr(args, "anchor_ema_late", 0.0),
         anchor_ema_switch_step=getattr(args, "anchor_ema_switch_step", 0),
+        anchor_ema_switch_drift=getattr(args, "anchor_ema_switch_drift",
+                                        0.0),
+        anchor_drift_ema=getattr(args, "anchor_drift_ema", 0.995),
         anchor_beta1=getattr(args, "anchor_beta1", None),
         anchor_updates=getattr(args, "anchor_updates", 1),
         seed=args.seed,

@@ -284,3 +284,62 @@ def test_graceful_stop_on_sigterm(tmp_path):
     assert int(state2.step) == 5
     info = json.loads((tmp_path / "run" / "info.json").read_text())
     assert info["status"] == "finished"
+
+
+def test_checkpoint_forward_compat_added_fields(tmp_path):
+    """A checkpoint written before a TrainState field existed (the
+    round-5 drift-latch fields broke the rec13fence arms' resume of the
+    flagship's pre-change checkpoints) must restore via the
+    forward-compat path: saved fields load exactly, added fields keep
+    their init values. A genuinely foreign structure must still raise
+    the loud schema error."""
+    from typing import Any, NamedTuple
+
+    import numpy as np
+
+    from tcgan_tpu.train.checkpoint import CheckpointManager
+
+    class OldState(NamedTuple):
+        gen_params: Any
+        step: Any
+        endgame: Any = None
+
+    class NewState(NamedTuple):
+        gen_params: Any
+        step: Any
+        endgame: Any = None
+        drift_dir: Any = None     # added post-save
+        gamma_late: Any = None    # added post-save
+
+    old = OldState(gen_params={"J": np.full((2, 2), 0.3)},
+                   step=np.asarray(7), endgame=None)
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(7, old)
+
+    # feature OFF template: added fields None -> restored as None
+    t_off = NewState(gen_params={"J": np.zeros((2, 2))},
+                     step=np.asarray(0))
+    r = mgr.restore(t_off)
+    assert isinstance(r, NewState) and int(r.step) == 7
+    np.testing.assert_allclose(r.gen_params["J"], 0.3)
+    assert r.drift_dir is None and r.gamma_late is None
+
+    # feature ON template: added fields keep their cold-start init
+    t_on = NewState(gen_params={"J": np.zeros((2, 2))},
+                    step=np.asarray(0),
+                    drift_dir={"J": np.zeros((2, 2))},
+                    gamma_late=np.zeros((), bool))
+    r = mgr.restore(t_on)
+    np.testing.assert_allclose(r.gen_params["J"], 0.3)
+    np.testing.assert_allclose(r.drift_dir["J"], 0.0)
+    assert not bool(r.gamma_late)
+
+    # foreign structure (field the checkpoint has but we don't) still
+    # errors loudly instead of silently dropping saved state
+    class Shrunk(NamedTuple):
+        gen_params: Any
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="TrainState structure"):
+        mgr.restore(Shrunk(gen_params={"J": np.zeros((2, 2))}))
+    mgr.close()

@@ -858,3 +858,93 @@ def test_gen_lr_switch_min_step_arms_trigger():
     assert not bool(s.endgame)  # step 2 still below min_step 3
     s, _ = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(6))
     assert bool(s.endgame)  # latched at step 3
+
+
+def test_drift_latch_requires_late_gamma():
+    """anchor_ema_switch_drift with no late gamma to switch to must fail
+    loudly (error-loudly convention), not be silently inert."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 16)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, anchor_ema_switch_drift=0.3)
+    with pytest.raises(ValueError, match="anchor_ema_switch_drift"):
+        wgan_lib.init_state(cfg, data_moments=dmom)
+
+
+def test_drift_latch_descent_vs_orbit():
+    """The drift detector's core contract (rec13gammactl counterfactual,
+    BASELINE.md round-5 findings 4-6): directional descent holds the
+    ratio at ~1 (no latch — a family still descending must not be
+    frozen), period-2 oscillation drives it to ~(1-b)/(1+b) (latch), and
+    the arming step gates the latch like gen_lr_switch_min_step."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 16)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.995,
+                        anchor_ema_late=0.98,
+                        anchor_ema_switch_step=15,  # arming step
+                        anchor_ema_switch_drift=0.3,
+                        anchor_drift_ema=0.9)
+    state = wgan_lib.init_state(cfg, data_moments=dmom)
+    assert state.drift_dir is not None and not bool(state.gamma_late)
+    # gamma before any latch is the base gamma
+    assert float(wgan_lib.anchor_gamma(cfg, state)) == pytest.approx(0.995)
+
+    # phase 1: monotone descent, 10 steps (past warm-up, still unarmed)
+    ratio = None
+    for _ in range(10):
+        new = jax.tree.map(lambda p: p + 1e-3, state.gen_params)
+        fields, ratio = wgan_lib.next_drift_latch(cfg, state, new)
+        state = state._replace(gen_params=new, step=state.step + 1,
+                               **fields)
+    assert float(ratio) > 0.99  # pure descent: |EMA(d)|/EMA(|d|) ~ 1
+    assert not bool(state.gamma_late)
+
+    # phase 2: period-2 oscillation -> ratio -> (1-b)/(1+b) ~ 0.053.
+    # Steps 10..14 are still below the arming step: even a low ratio
+    # must not latch there.
+    latch_step = None
+    for i in range(30):
+        sgn = 1.0 if i % 2 == 0 else -1.0
+        new = jax.tree.map(lambda p: p + sgn * 1e-3, state.gen_params)
+        fields, ratio = wgan_lib.next_drift_latch(cfg, state, new)
+        state = state._replace(gen_params=new, step=state.step + 1,
+                               **fields)
+        if latch_step is None and bool(state.gamma_late):
+            latch_step = int(state.step)
+    assert float(ratio) < 0.15
+    assert latch_step is not None, "oscillation never latched"
+    assert latch_step >= 15, f"latched at {latch_step}, before arming"
+    # gamma after the latch is the late gamma, regardless of step count
+    assert float(wgan_lib.anchor_gamma(cfg, state)) == pytest.approx(0.98)
+
+
+def test_drift_latched_gamma_train_step():
+    """End-to-end: drift mode threads through the jitted train_step —
+    state fields live, drift_ratio recorded, no premature latch (the
+    ratio starts at exactly 1), and OFF by default (fields None)."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.995,
+                        anchor_ema_late=0.98, anchor_ema_switch_drift=0.3,
+                        anchor_drift_ema=0.9)
+    real = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim),
+        dtype=jnp.float64) * 0.1 + 1.0
+    s = wgan_lib.init_state(cfg, data_moments=dmom)
+    for i in range(2):
+        s, m = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(i))
+    assert s.drift_dir is not None and s.drift_mag is not None
+    assert np.isfinite(float(m.drift_ratio))
+    assert float(m.drift_ratio) > 0.5  # warm-up side: ratio starts at 1
+    assert not bool(s.gamma_late)
+
+    # off by default: state fields None, metric None (no schema noise)
+    cfg_off = tiny_wgan_cfg(moment_anchor=1e-2)
+    s_off = wgan_lib.init_state(cfg_off, data_moments=dmom)
+    assert s_off.drift_dir is None and s_off.gamma_late is None
+    s_off, m_off = wgan_lib.train_step(cfg_off, 2, s_off, real,
+                                       jax.random.PRNGKey(0))
+    assert m_off.drift_ratio is None and s_off.drift_dir is None
