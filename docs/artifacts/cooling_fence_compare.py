@@ -13,6 +13,14 @@ Host-side only (reads CSVs; no TPU).
 """
 from __future__ import annotations
 
+import os
+import sys
+
+# standalone-invocation bootstrap: these scripts live in docs/artifacts
+# but import the repo package (the 04:17 queue run failed on a bare
+# `python docs/artifacts/...py` without PYTHONPATH)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
 import argparse
 import json
 

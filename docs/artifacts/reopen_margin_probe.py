@@ -10,6 +10,15 @@ cost recovery — BASELINE.md round-5 root cause):
 
 Run post-flagship (one TPU process at a time).
 """
+
+import os
+import sys
+
+# standalone-invocation bootstrap: these scripts live in docs/artifacts
+# but import the repo package (the 04:17 queue run failed on a bare
+# `python docs/artifacts/...py` without PYTHONPATH)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
 import dataclasses
 import json
 import time
