@@ -95,6 +95,31 @@ out["verdict"] = (
     else ("DEFECT: fired mid-descent" if out["premature_freeze"]
           else f"LATCH SAFE: fired at {fire} after D's descent stalled"))
 
+# Counterfactual: the velocity detector (--anchor-ema-switch-vel,
+# built from this run's measurements) evaluated offline on the same
+# trace — debiased EMA (gamma 0.999) of the per-step log-param deltas,
+# max over components, in %-per-1k-steps. The claim it must support:
+# at the ratio-latch's fire step the velocity statistic is far ABOVE
+# the 1.0 threshold (it sees the descent the ratio cannot).
+L = np.log(data[:, 1:13])
+dL = np.diff(L, axis=0)
+g = 0.999
+e = np.zeros(12)
+vel = [np.nan]
+for t in range(dL.shape[0]):
+    e = g * e + (1 - g) * dL[t]
+    vel.append(np.max(np.abs(e / (1 - g ** (t + 1)))) * 1e5)
+vel = np.array(vel)
+out["vel_stat_pct_per_1k"] = {
+    "at_fire": (round(float(vel[np.searchsorted(step, fire)]), 2)
+                if fire else None),
+    "per_250": [(int(s), round(float(np.nanmedian(
+        vel[(step >= s) & (step < s + 250)])), 2))
+        for s in range(0, int(step[-1]) + 1, 250)],
+    "would_hold_at_fire": (bool(vel[np.searchsorted(step, fire)] > 1.0)
+                           if fire else None),
+}
+
 path = "docs/artifacts/driftlatch5_summary.json"
 json.dump(out, open(path, "w"), indent=1)
 print(json.dumps(out, indent=1))
