@@ -155,7 +155,33 @@ class WGANConfig:
     # before it; 0 = armed from the start — safe, the ratio starts at
     # exactly 1). Both EMAs share anchor_drift_ema, so the warm-up
     # debias factor cancels in the ratio.
+    # MEASURED CAVEAT (round-5 driftlatch5 live probe): at production
+    # per-step SNR (~0.006) this ratio decays to its ~0.02 noise floor
+    # within ~200 steps REGARDLESS of whether the family is descending —
+    # any threshold above that floor fires at the arming step, and no
+    # threshold separates the phases. Prefer anchor_ema_switch_vel
+    # (below), whose statistic tracks the true velocity at these SNRs.
     anchor_ema_switch_drift: float = 0.0
+    # Velocity-latched late gamma — the round-5 driftlatch5 live probe's
+    # replacement for the ratio detector above, calibrated on measured
+    # dynamics (docs/artifacts/driftlatch5_summary.json): per-step
+    # parameter deltas under Adam are noise-dominated (E|dlog p| ~6e-3
+    # per step vs net motion ~4e-5 per step, SNR ~0.006), so the
+    # |EMA(d)|/EMA(|d|) ratio sits at its ~0.02 noise floor even while D
+    # is descending at 2-4%/1k — it fired at the arming step mid-descent,
+    # the very defect it fences. The debiased EMA of the deltas, by
+    # contrast, tracks the true per-family velocity within ~1-2%/1k after
+    # a few-hundred-step warm-up (Adam's jitter is anti-persistent, so it
+    # cancels much faster than sqrt(N)). This trigger latches the late
+    # gamma when the MAX over components of the smoothed relative
+    # velocity |debiased EMA(delta)| (log-space params: already relative;
+    # raw space: divided by |p|) first drops below this threshold, in
+    # %-per-1000-steps units: measured regimes are descent 3-5.5, shell
+    # rotation ~1.1 (finding 7 — must NOT latch), damped near-truth hold
+    # << 1 (round-4c gamma-0.98 sweep). Recommended threshold 1.0;
+    # anchor_ema_switch_step is the arming step as for the ratio mode.
+    # Mutually exclusive with anchor_ema_switch_drift (error-loudly).
+    anchor_ema_switch_vel: float = 0.0
     anchor_drift_ema: float = 0.995  # ~200-step window at the default
     moment_eps: float = 1e-2  # moment-normalization floor (as in mm)
     # beta1 for the anchor's OWN Adam (None = the WGAN beta1, 0.5). The
@@ -356,7 +382,17 @@ def init_state(cfg: WGANConfig, key: jax.Array | None = None,
                          "gamma — it requires anchor_ema_late > 0 "
                          "(error-loudly rule: a drift threshold with no "
                          "late gamma to switch to would be silently inert)")
-    drift = cfg.anchor_ema_switch_drift > 0
+    if cfg.anchor_ema_switch_vel > 0 and cfg.anchor_ema_late <= 0:
+        raise ValueError("anchor_ema_switch_vel latches the LATE anchor "
+                         "gamma — it requires anchor_ema_late > 0 "
+                         "(same error-loudly rule as the drift-ratio "
+                         "trigger)")
+    if cfg.anchor_ema_switch_vel > 0 and cfg.anchor_ema_switch_drift > 0:
+        raise ValueError("anchor_ema_switch_vel and anchor_ema_switch_drift "
+                         "are two detectors for the same latch — pick one "
+                         "(the velocity trigger is the measured-calibration "
+                         "recommendation; see the WGANConfig field docs)")
+    drift = cfg.anchor_ema_switch_drift > 0 or cfg.anchor_ema_switch_vel > 0
     return TrainState(
         gen_params=gen_params,
         gen_opt=gen_tx.init(gen_params),
@@ -479,7 +515,9 @@ def anchor_gamma(cfg: WGANConfig, state: TrainState):
     switch: the late gamma engages when TrainState.gamma_late has latched
     (see next_drift_latch), not at a blind step count — the rec13recipe5
     lesson that a step switch tuned on J froze D's bias mid-descent."""
-    if cfg.anchor_ema_switch_drift > 0 and state.gamma_late is not None:
+    latched_mode = (cfg.anchor_ema_switch_drift > 0
+                    or cfg.anchor_ema_switch_vel > 0)
+    if latched_mode and state.gamma_late is not None:
         return jnp.where(state.gamma_late,
                          jnp.asarray(cfg.anchor_ema_late),
                          jnp.asarray(cfg.moment_ema))
@@ -492,10 +530,12 @@ def anchor_gamma(cfg: WGANConfig, state: TrainState):
 def next_drift_latch(cfg: WGANConfig, state: TrainState, new_gen_params):
     """Advance the drift-latched late-gamma state from this step's actual
     parameter movement (anchor + adversarial combined). Returns
-    ``(fields, ratio)``: the three TrainState fields as a dict (None-gated
+    ``(fields, stat)``: the three TrainState fields as a dict (None-gated
     exactly like anchor_buffers, so the feature is checkpoint-compatible
-    when off) and the scalar drift ratio for the learning stream (None
-    when off).
+    when off) and the active detector's scalar statistic for the
+    learning stream (recorded under ``drift_ratio`` either way: the
+    |EMA|/EMA|.| ratio in drift mode, the %-per-1k velocity in vel
+    mode; None when off).
 
     The detector: per component, ``|EMA(delta)| / EMA(|delta|)`` is ~1
     while the component drifts directionally (descent — D's state when
@@ -515,14 +555,33 @@ def next_drift_latch(cfg: WGANConfig, state: TrainState, new_gen_params):
                              state.drift_dir, delta)
     drift_mag = jax.tree.map(lambda e, d: b * e + (1.0 - b) * jnp.abs(d),
                              state.drift_mag, delta)
-    per_leaf = [jnp.max(jnp.abs(a) / (m + 1e-12))
-                for a, m in zip(jax.tree.leaves(drift_dir),
-                                jax.tree.leaves(drift_mag))]
-    ratio = jnp.max(jnp.stack(per_leaf))
     armed = (state.step + 1) >= cfg.anchor_ema_switch_step
-    fired = jnp.logical_and(armed, ratio < cfg.anchor_ema_switch_drift)
+    if cfg.anchor_ema_switch_vel > 0:
+        # Velocity trigger (see WGANConfig.anchor_ema_switch_vel): the
+        # statistic is the max over components of the debiased smoothed
+        # per-step motion, in %-per-1k-steps. Log-space params make the
+        # delta already relative; raw space normalizes by |p|. The
+        # debias (1 - b^(step+1)) assumes the drift EMAs started at
+        # step 0 — on a resume from a checkpoint that predates the
+        # feature, set the arming step past the warm-up (~3/(1-b)
+        # steps) instead of trusting the early statistic.
+        debias = 1.0 - b ** (state.step.astype(jnp.float32) + 1.0)
+        if cfg.gen.param_space == "log":
+            rel = [jnp.abs(a) for a in jax.tree.leaves(drift_dir)]
+        else:
+            rel = [jnp.abs(a) / (jnp.abs(p) + 1e-12)
+                   for a, p in zip(jax.tree.leaves(drift_dir),
+                                   jax.tree.leaves(new_gen_params))]
+        stat = jnp.max(jnp.stack([jnp.max(r) for r in rel])) / debias * 1e5
+        fired = jnp.logical_and(armed, stat < cfg.anchor_ema_switch_vel)
+    else:
+        per_leaf = [jnp.max(jnp.abs(a) / (m + 1e-12))
+                    for a, m in zip(jax.tree.leaves(drift_dir),
+                                    jax.tree.leaves(drift_mag))]
+        stat = jnp.max(jnp.stack(per_leaf))
+        fired = jnp.logical_and(armed, stat < cfg.anchor_ema_switch_drift)
     return dict(drift_dir=drift_dir, drift_mag=drift_mag,
-                gamma_late=jnp.logical_or(state.gamma_late, fired)), ratio
+                gamma_late=jnp.logical_or(state.gamma_late, fired)), stat
 
 
 def anchor_loss(cfg, state: TrainState, out):

@@ -213,7 +213,25 @@ def add_gan_flags(p: argparse.ArgumentParser):
                         "BASELINE.md): a step-count switch tuned on J "
                         "froze D's bias mid-descent; the latch cannot "
                         "freeze a family that is still moving. Recorded "
-                        "per step as drift_ratio in learning.jsonl")
+                        "per step as drift_ratio in learning.jsonl. "
+                        "MEASURED CAVEAT (driftlatch5 live probe): at "
+                        "production per-step SNR the ratio sits at its "
+                        "~0.02 noise floor even mid-descent, so it fires "
+                        "at the arming step — prefer "
+                        "--anchor-ema-switch-vel")
+    g.add_argument("--anchor-ema-switch-vel", type=float, default=0.0,
+                   help="velocity-latched late gamma (0 = off; mutually "
+                        "exclusive with --anchor-ema-switch-drift): "
+                        "engage --anchor-ema-late when the max-over-"
+                        "components smoothed relative parameter velocity "
+                        "first drops below this value, in %%-per-1000-"
+                        "steps. Calibrated on the driftlatch5 live probe "
+                        "(BASELINE.md round 5): descent reads 3-5.5, the "
+                        "finding-7 shell rotation ~1.1 (must not latch), "
+                        "the damped near-truth hold <<1 — try 1.0. "
+                        "--anchor-ema-switch-step arms it; statistic "
+                        "recorded per step as drift_ratio in "
+                        "learning.jsonl")
     g.add_argument("--anchor-drift-ema", type=float, default=0.995,
                    help="decay for the drift detector's delta EMAs "
                         "(~200-step window at the default; both EMAs "

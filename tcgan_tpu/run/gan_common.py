@@ -113,6 +113,7 @@ def _run_gan_body(args, solver, conditional, gen_cfg, model, mk_cfg,
         anchor_ema_switch_step=getattr(args, "anchor_ema_switch_step", 0),
         anchor_ema_switch_drift=getattr(args, "anchor_ema_switch_drift",
                                         0.0),
+        anchor_ema_switch_vel=getattr(args, "anchor_ema_switch_vel", 0.0),
         anchor_drift_ema=getattr(args, "anchor_drift_ema", 0.995),
         anchor_beta1=getattr(args, "anchor_beta1", None),
         anchor_updates=getattr(args, "anchor_updates", 1),

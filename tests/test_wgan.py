@@ -948,3 +948,91 @@ def test_drift_latched_gamma_train_step():
     s_off, m_off = wgan_lib.train_step(cfg_off, 2, s_off, real,
                                        jax.random.PRNGKey(0))
     assert m_off.drift_ratio is None and s_off.drift_dir is None
+
+
+def test_vel_latch_flag_contradictions_error_loudly():
+    """anchor_ema_switch_vel needs a late gamma, and is mutually
+    exclusive with the drift-ratio detector (same latch, two triggers)."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 16)
+    dmom = mm_lib.data_moments(out.tc)
+    with pytest.raises(ValueError, match="anchor_ema_switch_vel"):
+        wgan_lib.init_state(
+            tiny_wgan_cfg(moment_anchor=1e-2, anchor_ema_switch_vel=1.0),
+            data_moments=dmom)
+    with pytest.raises(ValueError, match="pick one"):
+        wgan_lib.init_state(
+            tiny_wgan_cfg(moment_anchor=1e-2, anchor_ema_late=0.98,
+                          anchor_ema_switch_vel=1.0,
+                          anchor_ema_switch_drift=0.3),
+            data_moments=dmom)
+
+
+def test_vel_latch_descent_vs_hold():
+    """The velocity detector's contract (driftlatch5 live probe,
+    BASELINE.md round 5): the statistic equals the true relative
+    velocity in %-per-1k under constant descent (debias makes it exact
+    from step 1), so descent above threshold never latches; small
+    oscillatory hold motion drops it below threshold and latches, gated
+    by the arming step; gamma switches on the latch."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 16)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.995,
+                        anchor_ema_late=0.98,
+                        anchor_ema_switch_step=15,  # arming step
+                        anchor_ema_switch_vel=1.0,  # %/1k
+                        anchor_drift_ema=0.9)
+    state = wgan_lib.init_state(cfg, data_moments=dmom)
+    assert float(wgan_lib.anchor_gamma(cfg, state)) == pytest.approx(0.995)
+
+    # phase 1: constant log-space descent 1e-3/step = 100 %/1k >> 1.0
+    stat = None
+    for _ in range(10):
+        new = jax.tree.map(lambda p: p + 1e-3, state.gen_params)
+        fields, stat = wgan_lib.next_drift_latch(cfg, state, new)
+        state = state._replace(gen_params=new, step=state.step + 1,
+                               **fields)
+    assert float(stat) == pytest.approx(100.0, rel=1e-3)
+    assert not bool(state.gamma_late)
+
+    # phase 2: period-2 oscillation, amplitude 1e-5/step -> EMA(delta)
+    # -> (1-b)/(1+b)*1e-5 ~ 0.05 %/1k < 1.0 once phase 1's momentum has
+    # decayed out of the EMA (0.9^n * 100 %/1k < 1 needs n ~ 45). Steps
+    # 10..14 are below the arming step: no latch there regardless.
+    latch_step = None
+    for i in range(80):
+        sgn = 1.0 if i % 2 == 0 else -1.0
+        new = jax.tree.map(lambda p: p + sgn * 1e-5, state.gen_params)
+        fields, stat = wgan_lib.next_drift_latch(cfg, state, new)
+        state = state._replace(gen_params=new, step=state.step + 1,
+                               **fields)
+        if latch_step is None and bool(state.gamma_late):
+            latch_step = int(state.step)
+    assert float(stat) < 1.0
+    assert latch_step is not None, "hold motion never latched"
+    assert latch_step >= 15, f"latched at {latch_step}, before arming"
+    assert float(wgan_lib.anchor_gamma(cfg, state)) == pytest.approx(0.98)
+
+
+def test_vel_latched_gamma_train_step():
+    """End-to-end: vel mode threads through the jitted train_step —
+    fields live, the velocity statistic is recorded (finite, in the
+    drift_ratio column), and the arming step prevents an early latch."""
+    out = gen_lib.sample_tuning_curves(
+        TINY_GEN, gen_lib.init_params(TINY_GEN), jax.random.PRNGKey(10), 32)
+    dmom = mm_lib.data_moments(out.tc)
+    cfg = tiny_wgan_cfg(moment_anchor=1e-2, moment_ema=0.995,
+                        anchor_ema_late=0.98, anchor_ema_switch_vel=1.0,
+                        anchor_ema_switch_step=10,
+                        anchor_drift_ema=0.9)
+    real = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.n_critic, cfg.critic_batch, cfg.gen.tc_dim),
+        dtype=jnp.float64) * 0.1 + 1.0
+    s = wgan_lib.init_state(cfg, data_moments=dmom)
+    for i in range(2):
+        s, m = wgan_lib.train_step(cfg, 2, s, real, jax.random.PRNGKey(i))
+    assert s.drift_dir is not None
+    assert np.isfinite(float(m.drift_ratio))
+    assert not bool(s.gamma_late)  # unarmed until step 10
